@@ -1,0 +1,210 @@
+"""Epipolar cost volume: construction, depth pyramid, and multi-level lookup.
+
+TPU-native re-design of ``/root/reference/core/corr.py`` + ``alt_cuda_corr``:
+
+* The CUDA gather kernel (``alt_cuda_corr/correlation_kernel.cu:19-119``) is
+  replaced by a vectorized project->4-corner-gather->dot formulation that XLA
+  fuses; peak memory is bounded by scanning over hypothesis chunks
+  (``lax.map``) instead of the reference's imperative python chunking
+  (``core/corr.py:112-139``).  A fused Pallas kernel with fmap tiles resident
+  in VMEM lives in ``cermvs_tpu.ops.pallas`` and plugs in behind the same API.
+* Layout is hypothesis-minor: the volume is (B, V, H, W, D) with the D axis
+  last (lane dimension), so the 3-level avg-pool pyramid
+  (``core/corr.py:94-97``) and the 11-tap lookups (``core/corr.py:102-143``)
+  are contiguous-lane operations.
+* Gradients: coordinates carry zero gradient, matching the reference CUDA
+  backward which never writes ``coords_grad``
+  (``correlation_kernel.cu:307,323``); feature-map gradients flow through the
+  gathers (JAX derives a deterministic scatter-add, replacing ``atomicAdd``).
+
+Semantics preserved exactly:
+  * hypothesis slab ``disps = (arange(D) - D//2) * incre + origin``
+    (``core/corr.py:56,65``),
+  * stage-0 "shift" rule clamping the origin to ``D//2 * incre``
+    (``core/corr.py:59-62``),
+  * feature scaling by 1/8 per map (``core/corr.py:30-31``),
+  * coordinate clamp to +-1e4 (``core/corr.py:75``),
+  * lookup index ``max((zinv - origin)/incre + D//2, 0)`` (``core/corr.py:107``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from cermvs_tpu.ops.geometry import pixel_coords_of_hypotheses
+from cermvs_tpu.ops.sampling import interp1d
+
+
+class CorrPyramid(NamedTuple):
+    """Correlation pyramid + slab parameters for one cascade stage."""
+
+    levels: List[jnp.ndarray]  # each (B, V, H, W, D / 2^i), fp32
+    origin: jnp.ndarray        # (B, 1, H, W) per-pixel slab origin (inv depth)
+    incre: float               # hypothesis spacing (inverse-depth units)
+    n_hyp: int                 # D at level 0
+
+
+def slab_origin(disp: jnp.ndarray, n_hyp: int, incre: float, shift: bool):
+    """Per-pixel origin of the hypothesis slab.
+
+    disp: (B, 1, H, W) current inverse-depth estimate (detached by caller).
+    Stage 0 (``shift=True``): origin is clamped up to ``D//2 * incre`` so the
+    slab starts at inverse depth 0 (``core/corr.py:59-62``); later stages
+    center the slab on the estimate.
+    """
+    if shift:
+        floor = n_hyp // 2 * incre
+        return jnp.maximum(disp, floor)
+    return disp
+
+
+def _gather_corr_chunk(f_ref, f_src_flat, coords, H, W):
+    """Correlation for one hypothesis chunk.
+
+    f_ref: (B, V, H, W, C) reference features (already scaled)
+    f_src_flat: (B, V, H*W, C) source features (already scaled)
+    coords: (B, V, K, H, W, 2) sample coords in the source view
+    returns (B, V, K, H, W) correlation.
+    """
+    x, y = coords[..., 0], coords[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    ix0 = x0.astype(jnp.int32)
+    iy0 = y0.astype(jnp.int32)
+
+    B, V, K = x.shape[:3]
+
+    def corner(iy, ix, w):
+        inside = (ix >= 0) & (ix <= W - 1) & (iy >= 0) & (iy <= H - 1)
+        idx = jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1)
+        idx = idx.reshape(B, V, K * H * W)
+        g = jnp.take_along_axis(f_src_flat, idx[..., None], axis=2)
+        g = g.reshape(B, V, K, H, W, -1)
+        # dot over channels fuses with the gather; weight applied after the
+        # reduction keeps the elementwise work on (B,V,K,H,W) only.
+        dot = jnp.einsum("bvkhwc,bvhwc->bvkhw", g, f_ref)
+        return dot * (w * inside.astype(dot.dtype))
+
+    return (
+        corner(iy0, ix0, (1 - fx) * (1 - fy))
+        + corner(iy0, ix0 + 1, fx * (1 - fy))
+        + corner(iy0 + 1, ix0, (1 - fx) * fy)
+        + corner(iy0 + 1, ix0 + 1, fx * fy)
+    )
+
+
+def build_corr_volume(
+    fmaps: jnp.ndarray,
+    poses: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    ii: jnp.ndarray,
+    jj: jnp.ndarray,
+    origin: jnp.ndarray,
+    n_hyp: int,
+    incre: float,
+    hyp_chunk: int = 16,
+) -> jnp.ndarray:
+    """Build the (B, V, H, W, D) epipolar correlation volume.
+
+    fmaps: (B, N, H, W, C) feature maps (fp32); origin: (B, 1, H, W).
+    Hypothesis chunks are processed under ``lax.map`` so the transient
+    gather buffers stay at (B*V*chunk*H*W*C) regardless of D.
+    """
+    B, N, H, W, C = fmaps.shape
+    V = int(ii.shape[0])
+    fmaps = fmaps.astype(jnp.float32) / 8.0
+    f_ref = jnp.take(fmaps, ii, axis=1)
+    f_src_flat = jnp.take(fmaps, jj, axis=1).reshape(B, V, H * W, C)
+
+    n_chunks = max(1, math.ceil(n_hyp / hyp_chunk))
+    padded = n_chunks * hyp_chunk
+    offsets = (jnp.arange(padded) - n_hyp // 2).astype(jnp.float32) * incre
+    offsets = offsets.reshape(n_chunks, hyp_chunk)
+
+    def one_chunk(offs):
+        # (B, 1, K, H, W) hypothesis slab for this chunk
+        disps = origin[:, :, None, :, :] + offs[None, None, :, None, None]
+        coords = pixel_coords_of_hypotheses(poses, intrinsics, ii, jj, disps)
+        coords = jax.lax.stop_gradient(coords)
+        return _gather_corr_chunk(f_ref, f_src_flat, coords, H, W)
+
+    if n_chunks == 1:
+        corr = one_chunk(offsets[0])[:, :, None]
+    else:
+        corr = jax.lax.map(one_chunk, offsets)  # (n_chunks, B, V, K, H, W)
+        corr = jnp.moveaxis(corr, 0, 2)  # (B, V, n_chunks, K, H, W)
+    corr = corr.reshape(B, V, padded, H, W)[:, :, :n_hyp]
+    return jnp.moveaxis(corr, 2, -1)  # (B, V, H, W, D)
+
+
+def build_pyramid(corr: jnp.ndarray, num_levels: int = 3) -> List[jnp.ndarray]:
+    """Avg-pool pyramid along the hypothesis (last) axis (``core/corr.py:94-97``)."""
+    levels = [corr]
+    for _ in range(num_levels - 1):
+        D = corr.shape[-1]
+        corr = corr.reshape(corr.shape[:-1] + (D // 2, 2)).mean(-1)
+        levels.append(corr)
+    return levels
+
+
+def lookup(
+    pyramid: CorrPyramid,
+    zinv: jnp.ndarray,
+    radius: int = 5,
+) -> jnp.ndarray:
+    """Sample 2r+1 taps per pyramid level around the current estimate.
+
+    zinv: (B, V, H, W) current ref-view disparity broadcast per view (the
+    reference passes ``disp[:, ii]``, ``core/raft.py:98``).
+    Returns (B, V, H, W, num_levels*(2r+1)) matching ``core/corr.py:140-143``
+    (channel order: level-major, tap-minor).
+    """
+    x0 = jnp.maximum(
+        (zinv - pyramid.origin) / pyramid.incre + pyramid.n_hyp // 2, 0.0
+    )
+    dx = jnp.arange(-radius, radius + 1, dtype=x0.dtype)
+    outs = []
+    for i, corr in enumerate(pyramid.levels):
+        taps = x0[..., None] / (2.0 ** i) + dx
+        outs.append(interp1d(corr, taps))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def build_corr_pyramid(
+    fmaps, poses, intrinsics, ii, jj, disp, n_hyp, incre,
+    shift: bool, num_levels: int = 3, hyp_chunk: int = 16,
+    volume_fn=None,
+) -> CorrPyramid:
+    """CorrBlock constructor equivalent (``core/corr.py:46-99``).
+
+    disp: (B, 1, H, W) detached current estimate.  ``volume_fn`` lets callers
+    swap in the Pallas kernel; it must match :func:`build_corr_volume`'s
+    signature.
+    """
+    origin = slab_origin(jax.lax.stop_gradient(disp), n_hyp, incre, shift)
+    fn = volume_fn or build_corr_volume
+    corr = fn(fmaps, poses, intrinsics, ii, jj, origin, n_hyp, incre, hyp_chunk)
+    return CorrPyramid(
+        levels=build_pyramid(corr, num_levels),
+        origin=origin,
+        incre=incre,
+        n_hyp=n_hyp,
+    )
+
+
+def dense_corr(fmaps: jnp.ndarray, ii, jj) -> jnp.ndarray:
+    """All-pairs correlation oracle (unused on the hot path, mirrors
+    ``core/corr.py:148-158``); kept for tests and diagnostics."""
+    f1 = jnp.take(fmaps, ii, axis=1) / 8.0
+    f2 = jnp.take(fmaps, jj, axis=1) / 8.0
+    B, V, H, W, C = f1.shape
+    f1 = f1.reshape(B, V, H * W, C)
+    f2 = f2.reshape(B, V, H * W, C)
+    corr = jnp.einsum("bvpc,bvqc->bvpq", f1, f2)
+    return corr.reshape(B, V, H, W, H, W)
