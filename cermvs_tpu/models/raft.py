@@ -1,0 +1,161 @@
+"""Cascaded epipolar RAFT model — the flagship depth-regression network.
+
+TPU-native re-design of ``/root/reference/core/raft.py``:
+
+* the python GRU loop (``core/raft.py:96-103``) becomes ``nn.scan`` (a single
+  compiled ``lax.scan`` body per cascade stage, optionally rematerialized for
+  memory) instead of 8 unrolled graph copies;
+* mixed precision follows the reference's autocast layout
+  (``core/raft.py:55,83,98``): encoders + GRU in bfloat16, the cost volume in
+  an fp32 island — on TPU no loss scaler is needed;
+* test-time memory control (per-frame fnet loop, chunked lookups,
+  ``core/raft.py:63-69``/``core/corr.py:123-139``) becomes static
+  scan-over-frames and hypothesis-chunked volume construction.
+
+Cascade semantics preserved (``core/raft.py:14-22,76-104``):
+  * stages ``(D, N, T)``: D hypotheses (-1 -> auto ``(2r+1)*2^(levels-1)``),
+    spacing ``incre = 0.0025 / N``, T GRU iterations;
+  * stage 0 shifts the slab origin away from the zero init, later stages
+    center it on the current estimate;
+  * disparity is detached at each iteration start; predictions accumulate
+    ``disp + delta``;
+  * test mode returns ``disp * scale`` (``core/raft.py:106-108``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from cermvs_tpu.config import configurable
+from cermvs_tpu.models.extractor import BasicEncoder
+from cermvs_tpu.models.update import UpdateBlock
+from cermvs_tpu.ops import corr as corr_ops
+
+
+@configurable("RAFT")
+class RAFT(nn.Module):
+    """images (B, N, H, W, 3) in [0, 255], poses (B, N, 4, 4) w2c,
+    intrinsics (B, N, 3, 3); returns per-iteration disparity predictions
+    (train) or the final scaled disparity map (test)."""
+
+    cascade: Sequence[Tuple[int, int, int]] = ((64, 64, 8), (-1, 320, 8))
+    encoder_type: str = "HR"
+    dim_fmap: int = 64
+    dim_net: int = 64
+    dim_inp: int = 64
+    test_mode: bool = False
+    num_levels: int = 3
+    radius: int = 5
+    hyp_chunk: int = 16
+    remat: bool = True
+    unroll_iters: bool = False
+    dtype: Any = jnp.bfloat16
+    # pluggable cost-volume builder (e.g. the Pallas kernel); must match
+    # ops.corr.build_corr_volume's signature
+    volume_fn: Optional[Any] = None
+
+    def setup(self):
+        self.fnet = BasicEncoder(
+            output_dim=self.dim_fmap, norm_fn="instance",
+            type=self.encoder_type, dtype=self.dtype, name="fnet")
+        self.cnet = BasicEncoder(
+            output_dim=self.dim_net + self.dim_inp, norm_fn="none",
+            type=self.encoder_type, dtype=self.dtype, name="cnet")
+        self.update_block = UpdateBlock(
+            cascade=self.cascade, dim_net=self.dim_net, dim_inp=self.dim_inp,
+            num_levels=self.num_levels, radius=self.radius, dtype=self.dtype,
+            name="update_block")
+
+    def _auto_hyps(self, n: int) -> int:
+        if n == -1:
+            return (2 * self.radius + 1) * 2 ** (self.num_levels - 1)
+        return n
+
+    def __call__(self, images, poses, intrinsics, scale=None):
+        B, N, H, W, _ = images.shape
+        factor = self.fnet.stride_factor
+        h, w = H // factor, W // factor
+        V = N - 1
+
+        if scale is not None:
+            scale = jnp.asarray(scale, jnp.float32).reshape(B, 1, 1)
+            # scale scene translations (core/raft.py:35); (B,1,1) -> (B,N,3)
+            poses = poses.at[..., :3, 3].multiply(scale)
+
+        intrinsics = intrinsics.at[:, :, :2].divide(float(factor))
+        images = images.astype(jnp.float32) * (2.0 / 255.0) - 1.0
+
+        ii = jnp.zeros(V, jnp.int32)
+        jj = jnp.arange(1, N, dtype=jnp.int32)
+
+        net_inp = self.cnet(images[:, 0])
+        net = jnp.tanh(net_inp[..., : self.dim_net])
+        inp = nn.relu(net_inp[..., self.dim_net :])
+
+        if self.test_mode:
+            # serialize the feature encoder over frames to bound peak memory
+            # (replaces the imperative loop at core/raft.py:66-69)
+            def encode(mdl, carry, img):
+                return carry, mdl.fnet(img)
+            fmaps = nn.scan(
+                encode, variable_broadcast="params",
+                split_rngs={"params": False}, in_axes=1, out_axes=1,
+            )(self, (), images)[1]
+        else:
+            fmaps = self.fnet(images)
+        fmaps = fmaps.astype(jnp.float32)
+
+        disp = jnp.zeros((B, h, w, 1), jnp.float32)
+        predictions = []
+
+        for stage, (n_hyp, n_div, n_iters) in enumerate(self.cascade):
+            n_hyp = self._auto_hyps(n_hyp)
+            incre = 0.0025 / n_div
+
+            # fp32 island: cost volume built on the detached estimate
+            pyr = corr_ops.build_corr_pyramid(
+                fmaps, poses, intrinsics, ii, jj,
+                jax.lax.stop_gradient(disp)[..., 0][:, None],  # (B,1,h,w)
+                n_hyp, incre, shift=(stage == 0),
+                num_levels=self.num_levels, hyp_chunk=self.hyp_chunk,
+                volume_fn=self.volume_fn,
+            )
+
+            def body(mdl, carry, _, _pyr=pyr, _inp=inp, _stage=stage):
+                net, disp = carry
+                disp = jax.lax.stop_gradient(disp)
+                zinv = jnp.broadcast_to(
+                    disp[..., 0][:, None], (B, V, h, w))
+                corr_frames = corr_ops.lookup(_pyr, zinv, mdl.radius)
+                net, delta = mdl.update_block(
+                    net, _inp, disp, corr_frames, _stage)
+                disp = disp + delta
+                return (net, disp), disp
+
+            if self.unroll_iters:
+                carry = (net, disp)
+                for _ in range(n_iters):
+                    carry, pred = body(self, carry, None)
+                    predictions.append(pred)
+                net, disp = carry
+            else:
+                fn = nn.remat(body, static_argnums=()) if self.remat else body
+                (net, disp), preds = nn.scan(
+                    fn, variable_broadcast="params",
+                    split_rngs={"params": False}, length=n_iters,
+                )(self, (net, disp), None)
+                predictions.append(preds)  # (T, B, h, w, 1)
+
+        if self.test_mode:
+            out = disp[..., 0]  # (B, h, w)
+            if scale is not None:
+                out = out * scale
+            return out
+
+        if self.unroll_iters:
+            return jnp.stack([p[..., 0] for p in predictions], axis=0)
+        return jnp.concatenate(predictions, axis=0)[..., 0]  # (T_total, B, h, w)
