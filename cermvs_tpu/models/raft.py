@@ -70,6 +70,10 @@ class RAFT(nn.Module):
             num_levels=self.num_levels, radius=self.radius, dtype=self.dtype,
             name="update_block")
 
+    @property
+    def stride_factor(self) -> int:
+        return 8 if self.encoder_type == "LR" else 4
+
     def _auto_hyps(self, n: int) -> int:
         if n == -1:
             return (2 * self.radius + 1) * 2 ** (self.num_levels - 1)
@@ -77,7 +81,7 @@ class RAFT(nn.Module):
 
     def __call__(self, images, poses, intrinsics, scale=None):
         B, N, H, W, _ = images.shape
-        factor = self.fnet.stride_factor
+        factor = self.stride_factor
         h, w = H // factor, W // factor
         V = N - 1
 

@@ -1,0 +1,243 @@
+"""Point-cloud fusion with adaptive geometric-consistency thresholding.
+
+TPU-native re-design of ``/root/reference/fusion.py`` (itself a port of
+D2HC-RMVSNet fusion): the per-(ref, src) two-way reprojection check runs as a
+single jitted kernel vmapped over source views, with the threshold passed as a
+traced scalar so the 10-iteration binary search (``fusion.py:201-299``) reuses
+one executable.  The search adapts a log10 threshold until the mean inlier
+ratio across views reaches ``glb`` (default 0.25).
+
+Vote semantics preserved (``fusion.py:85-106,244-260``):
+  * per source, masks for levels i=2..10: ``dist < i/thre1`` and
+    ``relative depth diff < i/thre2`` with ``thre1 = 4*10^t``,
+    ``thre2 = 1300*10^t``;
+  * a pixel is kept if >= i sources pass level i for any i (or all sources
+    pass level 10);
+  * fused depth = (sum of level-10-masked reprojected depths + ref) /
+    (level-10 vote count + 1).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+from pathlib import Path
+from typing import List
+
+import cv2
+import numpy as np
+
+from cermvs_tpu.config import configurable
+from cermvs_tpu.io.pfm import read_pfm
+from cermvs_tpu.io.ply import write_ply
+
+
+def _consistency_kernel(ref_depth, ref_K, ref_E, src_depth, src_K, src_E,
+                        thre1, thre2):
+    """Two-way reprojection consistency for ONE source view (jit + vmap'd).
+
+    ref_depth/src_depth: (H, W); returns (masks (9, H, W) bool,
+    depth_reprojected (H, W) with non-level-10 pixels zeroed, dist, reldiff).
+    Mirrors ``reproject_with_depth`` + ``check_geometric_consistency``
+    (``fusion.py:39-106``).
+    """
+    import jax.numpy as jnp
+    from cermvs_tpu.ops.sampling import bilinear_sample
+
+    H, W = ref_depth.shape
+    y = jnp.arange(H, dtype=jnp.float32)[:, None] * jnp.ones((1, W), jnp.float32)
+    x = jnp.arange(W, dtype=jnp.float32)[None, :] * jnp.ones((H, 1), jnp.float32)
+
+    ones = jnp.ones_like(x)
+    pix = jnp.stack([x, y, ones], 0).reshape(3, -1)  # (3, HW)
+
+    xyz_ref = jnp.linalg.inv(ref_K) @ (pix * ref_depth.reshape(1, -1))
+    rel = src_E @ jnp.linalg.inv(ref_E)
+    xyz_src = (rel @ jnp.concatenate([xyz_ref, ones.reshape(1, -1)], 0))[:3]
+    K_xyz = src_K @ xyz_src
+    xy_src = K_xyz[:2] / K_xyz[2:3]
+
+    sampled = bilinear_sample(
+        src_depth[..., None],
+        jnp.stack([xy_src[0], xy_src[1]], -1).reshape(H, W, 2),
+    )[..., 0]
+
+    xyz_src2 = jnp.linalg.inv(src_K) @ (
+        jnp.concatenate([xy_src, ones.reshape(1, -1)], 0)
+        * sampled.reshape(1, -1))
+    rel_back = ref_E @ jnp.linalg.inv(src_E)
+    xyz_rp = (rel_back @ jnp.concatenate(
+        [xyz_src2, ones.reshape(1, -1)], 0))[:3]
+    depth_rp = xyz_rp[2].reshape(H, W)
+    K_rp = ref_K @ xyz_rp
+    xy_rp = K_rp[:2] / K_rp[2:3]
+
+    dist = jnp.sqrt(
+        (xy_rp[0].reshape(H, W) - x) ** 2 + (xy_rp[1].reshape(H, W) - y) ** 2)
+    depth_diff = jnp.abs(depth_rp - ref_depth)
+    rel_diff = depth_diff / ref_depth
+
+    levels = jnp.arange(2, 11, dtype=jnp.float32)[:, None, None]
+    masks = (dist[None] < levels / thre1) & (rel_diff[None] < levels / thre2)
+    depth_rp = jnp.where(masks[-1], depth_rp, 0.0)
+    return masks, depth_rp
+
+
+@functools.lru_cache(maxsize=8)
+def _batched_kernel(n_src: int, H: int, W: int):
+    import jax
+
+    def run(ref_depth, ref_K, ref_E, src_depths, src_Ks, src_Es, thre1, thre2):
+        masks, depth_rp = jax.vmap(
+            _consistency_kernel, in_axes=(None, None, None, 0, 0, 0, None, None)
+        )(ref_depth, ref_K, ref_E, src_depths, src_Ks, src_Es, thre1, thre2)
+        # (S, 9, H, W) -> per-level vote counts; level-10 = index -1
+        vote = masks.astype("int32").sum(axis=0)  # (9, H, W)
+        geo_sum10 = vote[-1]
+        n = 1 + n_src
+        geo_mask = geo_sum10 >= n
+        levels = jax.numpy.arange(2, 11)[:, None, None]
+        geo_mask = geo_mask | (vote >= levels).any(axis=0)
+        fused = (depth_rp.sum(axis=0) + ref_depth) / (geo_sum10 + 1)
+        return geo_mask, fused, geo_mask.mean()
+
+    return jax.jit(run)
+
+
+def align_image_to_depth(ref_img, depth, rescale, intrinsics, extrinsics):
+    """Resize/crop the RGB image onto the depth map's grid, fixing intrinsics
+    (the bookkeeping at ``fusion.py:142-190``).
+
+    ref_img: (H, W, 3) in [0, 1]; depth: (h, w) at the inference resolution
+    (already rescaled by caller).  Returns (img, intrinsics, extrinsics).
+    """
+    intrinsics = np.array(intrinsics, np.float64)
+    extrinsics = np.array(extrinsics, np.float64)
+    scale = float(depth.shape[0]) / ref_img.shape[0]
+    flag = 0
+    if depth.shape[1] / ref_img.shape[1] > scale:
+        scale = float(depth.shape[1]) / ref_img.shape[1]
+        flag = 1
+    img = cv2.resize(ref_img, None, fx=scale, fy=scale,
+                     interpolation=cv2.INTER_LINEAR)
+    if flag == 0:
+        index = int(math.ceil((img.shape[1] - depth.shape[1]) / 2))
+        img = img[:, index : depth.shape[1] + index, :]
+    else:
+        index = int(math.ceil((img.shape[0] - depth.shape[0]) / 2))
+        img = img[index : img.shape[0] - index, :, :]
+    intrinsics[:2, :] *= scale
+    if flag == 0:
+        intrinsics[0, 2] -= index
+    else:
+        intrinsics[1, 2] -= index
+    return img, intrinsics, extrinsics
+
+
+@configurable("fusion")
+def fusion(
+    data_loader,
+    output_folder,
+    suffix="",
+    glb: float = 0.25,
+    rescale: float = 1,
+    tot_iter: int = 10,
+):
+    import jax.numpy as jnp
+
+    output_folder = Path(output_folder)
+    n_images = len(data_loader)
+
+    all_images: List[np.ndarray] = []
+    all_depths: List[np.ndarray] = []
+    all_intrinsics: List[np.ndarray] = []
+    all_extrinsics: List[np.ndarray] = []
+    refid_to_index = {}
+    pair_data = []
+
+    for i, (images, extrinsics, intrinsics, image_names, _) in enumerate(
+            data_loader):
+        refid = image_names[0]
+        refid_to_index[refid] = i
+        pair_data.append((refid, list(image_names[1:])))
+
+        ref_img = images[0] / 255.0
+        depth = read_pfm(output_folder / "depths" / f"{refid}{suffix}.pfm")
+        h, w = depth.shape
+        depth = cv2.resize(depth, (int(w * rescale), int(h * rescale)))
+        img, K, E = align_image_to_depth(
+            ref_img, depth, rescale, intrinsics[0], extrinsics[0])
+
+        if all_depths and depth.shape != all_depths[0].shape:
+            h0, w0 = all_depths[0].shape
+            canvas = np.zeros((h0, w0), depth.dtype)
+            sh, sw = min(h0, depth.shape[0]), min(w0, depth.shape[1])
+            canvas[:sh, :sw] = depth[:sh, :sw]
+            depth = canvas
+            canvas = np.zeros_like(all_images[0])
+            sh, sw = min(canvas.shape[0], img.shape[0]), min(canvas.shape[1], img.shape[1])
+            canvas[:sh, :sw] = img[:sh, :sw]
+            img = canvas
+        all_images.append(img)
+        all_depths.append(depth.astype(np.float32))
+        all_intrinsics.append(K.astype(np.float32))
+        all_extrinsics.append(E.astype(np.float32))
+
+    depths = jnp.asarray(np.stack(all_depths))
+    Ks = jnp.asarray(np.stack(all_intrinsics))
+    Es = jnp.asarray(np.stack(all_extrinsics))
+    H, W = all_depths[0].shape
+
+    thre_left, thre_right = -2.0, 2.0
+    vertexs, vertex_colors = [], []
+
+    for it in range(tot_iter):
+        thre = (thre_left + thre_right) / 2
+        thre1 = 10.0 ** thre * 4.0
+        thre2 = 10.0 ** thre * 1300.0
+        mask_ratios = []
+
+        for refid, srcids in pair_data:
+            ref = refid_to_index[refid]
+            srcs = [refid_to_index[x] for x in srcids]
+            assert srcs, "reference view needs at least one source"
+            kernel = _batched_kernel(len(srcs), H, W)
+            geo_mask, fused_depth, ratio = kernel(
+                depths[ref], Ks[ref], Es[ref],
+                depths[np.asarray(srcs)], Ks[np.asarray(srcs)],
+                Es[np.asarray(srcs)],
+                jnp.float32(thre1), jnp.float32(thre2))
+            mask_ratios.append(float(ratio))
+
+            if it == tot_iter - 1:
+                geo_mask = np.asarray(geo_mask)
+                fused_depth = np.asarray(fused_depth)
+                os.makedirs(output_folder / "mask", exist_ok=True)
+                cv2.imwrite(
+                    str(output_folder / "mask" / f"{ref}{suffix}.png"),
+                    geo_mask.astype(np.uint8) * 255)
+                print(f"ref-view {ref}, mask: {geo_mask.mean():.4f}")
+
+                ys, xs = np.where(geo_mask)
+                d = fused_depth[ys, xs]
+                color = all_images[ref][ys, xs]
+                xyz_ref = np.linalg.inv(all_intrinsics[ref]) @ (
+                    np.vstack([xs, ys, np.ones_like(xs)]) * d)
+                xyz_world = (np.linalg.inv(all_extrinsics[ref]) @ np.vstack(
+                    [xyz_ref, np.ones_like(xs)]))[:3]
+                vertexs.append(xyz_world.T.astype(np.float32))
+                vertex_colors.append((color * 255).astype(np.uint8))
+
+        print(f"iter {it}: thre={10 ** thre:.5f} mean_mask={np.mean(mask_ratios):.4f}")
+        if np.mean(mask_ratios) >= glb:
+            thre_left = thre
+        else:
+            thre_right = thre
+
+    xyz = np.concatenate(vertexs, axis=0)
+    rgb = np.concatenate(vertex_colors, axis=0)
+    out = output_folder / "result.ply"
+    write_ply(out, xyz, rgb)
+    print("saving the final model to", out)
+    return out

@@ -1,0 +1,113 @@
+"""Depth-map inference driver.
+
+Re-design of ``/root/reference/inference.py``: a jitted test-mode forward with
+a per-shape compile cache (image sizes vary per dataset/rescale — each
+(N, H, W) bucket compiles once), PFM outputs named
+``{ref}_scale{rescale}_nf{num_frames}.pfm`` (``inference.py:59``), optional
+per-view min-depth bootstrap files (``inference.py:60-65``).
+
+The reference's imperative memory tricks (``empty_cache`` per view,
+``inference.py:66``) are replaced by static memory planning under jit; the
+test-mode model already serializes its encoder over frames and chunks the
+hypothesis axis.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from cermvs_tpu.config import configurable
+from cermvs_tpu.data.augment import crop_operation, pad_to_multiple, scale_operation
+from cermvs_tpu.io.pfm import write_pfm
+
+
+class InferenceRunner:
+    """Owns the model + params and a shape-bucketed jit cache."""
+
+    def __init__(self, params, model=None, **model_kwargs):
+        import jax
+        from cermvs_tpu.models.raft import RAFT
+
+        self.model = model or RAFT(test_mode=True, **model_kwargs)
+        self.params = params
+        self._cache: Dict[Tuple[int, int, int], object] = {}
+        self._jax = jax
+
+    def _fn(self, shape):
+        import jax
+
+        if shape not in self._cache:
+            self._cache[shape] = jax.jit(
+                lambda p, im, po, k, s: self.model.apply(p, im, po, k, s))
+        return self._cache[shape]
+
+    def __call__(self, images, poses, intrinsics, scale) -> np.ndarray:
+        """images (N,H,W,3) float32 [0,255] -> depth map (h, w) float32."""
+        import jax.numpy as jnp
+
+        im = jnp.asarray(images)[None]
+        po = jnp.asarray(poses)[None]
+        k = jnp.asarray(intrinsics)[None]
+        s = jnp.asarray([scale], jnp.float32)
+        fn = self._fn(tuple(im.shape[1:4]))
+        disp = np.asarray(fn(self.params, im, po, k, s))[0]
+        return np.where(disp == 0, 0, 1.0 / np.where(disp == 0, 1, disp)).astype(
+            np.float32)
+
+
+@configurable("inference")
+def inference(
+    test_loader,
+    ckpt=None,
+    output_folder="results",
+    rescale: float = 1,
+    crop=None,
+    do_report: bool = False,
+    write_min_depth: Optional[str] = None,
+    params=None,
+    model_kwargs: Optional[dict] = None,
+):
+    """Run depth inference for every reference view of ``test_loader``.
+
+    ``ckpt`` is an orbax params directory (see training.checkpoint); already
+    restored ``params`` may be passed directly.
+    """
+    if params is None:
+        from cermvs_tpu.training.checkpoint import load_params
+
+        if ckpt is None:
+            raise ValueError("need ckpt path or params")
+        params = load_params(ckpt)
+    runner = InferenceRunner(params, **(model_kwargs or {}))
+
+    output_folder = Path(output_folder)
+    (output_folder / "depths").mkdir(exist_ok=True, parents=True)
+    num_frames = test_loader.dataset.num_frames
+    factor = runner.model.stride_factor
+
+    for images, poses, intrinsics, image_names, scale in test_loader:
+        images, intrinsics = scale_operation(images, intrinsics, rescale)
+        if crop is not None:
+            images, intrinsics = crop_operation(images, intrinsics, *crop)
+        # static-shape requirement: trim to the encoder stride
+        images, intrinsics = pad_to_multiple(images, intrinsics, factor)
+
+        tic = time.perf_counter()
+        depth = runner(images, poses, intrinsics, scale)
+        if do_report:
+            print(f"per view time: {time.perf_counter() - tic:.3f}s "
+                  f"({image_names[0]}, {images.shape})")
+
+        name = f"{image_names[0]}_scale{rescale}_nf{num_frames}.pfm"
+        write_pfm(output_folder / "depths" / name, depth)
+
+        if write_min_depth is not None:
+            md_dir = Path(write_min_depth)
+            md_dir.mkdir(exist_ok=True, parents=True)
+            valid = depth[depth > 0]
+            min_depth = float(np.quantile(valid, 0.1) / 2) if valid.size else 0.0
+            (md_dir / f"{image_names[0]}.txt").write_text(f"{min_depth}\n")

@@ -1,0 +1,95 @@
+"""Training loop.
+
+Re-design of ``/root/reference/train.py:36-113`` on the jitted data-parallel
+step: curriculum weight ramps 0->1 over training (``train.py:76-79``),
+checkpoints carry full state and RESUME (the reference cannot,
+SURVEY.md section 5), metrics flow through the running-mean logger, host data
+loading overlaps device compute via the threaded loader + one-step prefetch.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import numpy as np
+
+from cermvs_tpu.config import configurable
+
+
+@configurable("train")
+def train(
+    name: str = "test",
+    batch_size: int = 2,
+    SAVE_FREQ: int = 5000,
+    fix_gradual_weight: Optional[float] = None,
+    num_steps: int = 100000,
+    checkpoint_dir: str = "checkpoints",
+    data_parallel: bool = True,
+    resume: bool = True,
+    seed: int = 1234,
+    log_every: int = 100,
+):
+    import jax
+    import jax.numpy as jnp
+
+    from cermvs_tpu.data import get_train_data_loader
+    from cermvs_tpu.models.raft import RAFT
+    from cermvs_tpu.parallel.mesh import make_mesh
+    from cermvs_tpu.training.checkpoint import CheckpointManager
+    from cermvs_tpu.training.optim import fetch_optimizer
+    from cermvs_tpu.training.step import init_state, make_train_step, shard_batch
+    from cermvs_tpu.utils.logger import Logger
+
+    model = RAFT()
+    tx, schedule = fetch_optimizer(num_steps=num_steps)
+    loader = get_train_data_loader(batch_size=batch_size)
+
+    mesh = None
+    if data_parallel and len(jax.devices()) > 1:
+        mesh = make_mesh(n_data=len(jax.devices()), n_view=1)
+
+    first = next(iter(loader))
+    state = init_state(model, tx, jax.random.PRNGKey(seed), first)
+
+    mgr = CheckpointManager(f"{checkpoint_dir}/{name}", save_interval=SAVE_FREQ)
+    if resume and mgr.latest_step() is not None:
+        state = mgr.restore(state)
+        print(f"resumed from step {int(state.step)}")
+
+    step_fn = make_train_step(model, tx, mesh=mesh)
+    logger = Logger(name, lr_fn=schedule, SUM_FREQ=log_every,
+                    is_host0=jax.process_index() == 0)
+
+    total_steps = int(state.step)
+    tic = None
+    total_time = 0.0
+    initial_steps = total_steps
+
+    while total_steps <= num_steps:
+        for batch in loader:
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
+            gw = (fix_gradual_weight if fix_gradual_weight is not None
+                  else total_steps / num_steps)
+            state, metrics = step_fn(state, batch, jnp.float32(gw))
+            total_steps += 1
+
+            logger.push({k: float(v) for k, v in metrics.items()})
+            mgr.maybe_save(state)
+
+            if tic is not None:
+                total_time += time.time() - tic
+                done = total_steps - initial_steps
+                if done % log_every == 0:
+                    per = total_time / done
+                    eta_days = per * (num_steps - total_steps) / 86400
+                    print(f"time per step: {per:.3f}s, eta: {eta_days:.2f} days")
+            tic = time.time()
+            if total_steps > num_steps:
+                break
+
+    mgr.maybe_save(state, force=True)
+    mgr.wait()
+    logger.close()
+    return state

@@ -1,0 +1,111 @@
+"""Pipeline tests: inference writes the PFM contract, multires merge rule,
+and fusion on a synthetic multi-camera plane scene produces a correct cloud."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cermvs_tpu.data.loader import Dataset, DataLoader
+from cermvs_tpu.io.pfm import read_pfm, write_pfm
+from cermvs_tpu.io.ply import read_ply
+from cermvs_tpu.models.raft import RAFT
+from cermvs_tpu.pipeline.fusion import fusion, align_image_to_depth
+from cermvs_tpu.pipeline.inference import inference
+from cermvs_tpu.pipeline.multires import multires
+
+
+class PlaneScene(Dataset):
+    """N cameras looking at the plane z = Z0 (world), w2c translations along x."""
+
+    def __init__(self, n=4, H=24, W=32, Z0=10.0, num_frames=2):
+        self.n = n
+        self.H, self.W, self.Z0 = H, W, Z0
+        self.num_frames = num_frames
+        self.K = np.array([[30.0, 0, W / 2], [0, 30.0, H / 2], [0, 0, 1]],
+                          np.float32)
+        self.poses = []
+        for i in range(n):
+            E = np.eye(4, dtype=np.float32)
+            E[0, 3] = -0.6 * i  # camera centers along +x
+            self.poses.append(E)
+        rng = np.random.RandomState(0)
+        self.tex = (rng.rand(H, W, 3) * 255).astype(np.float32)
+
+    def __len__(self):
+        return self.n
+
+    def depth(self, i):
+        # plane z = Z0 in world; cameras translated in x only -> depth Z0
+        return np.full((self.H, self.W), self.Z0, np.float32)
+
+    def __getitem__(self, i):
+        ids = [i] + [j for j in range(self.n) if j != i][: self.num_frames]
+        images = np.stack([self.tex for _ in ids])
+        poses = np.stack([self.poses[j] for j in ids])
+        intr = np.stack([self.K for _ in ids])
+        names = [str(j) for j in ids]
+        return images, poses, intr, names, 1.0
+
+
+def test_inference_writes_pfm(tmp_path):
+    scene = PlaneScene(n=3, H=32, W=32, num_frames=2)
+    loader = DataLoader(scene, batch_size=None, num_workers=0)
+    model = RAFT(test_mode=True, cascade=((4, 64, 1),), hyp_chunk=4,
+                 dtype=jnp.float32)
+    sample = scene[0]
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(sample[0])[None],
+                        jnp.asarray(sample[1])[None],
+                        jnp.asarray(sample[2])[None], jnp.ones(1))
+    inference(loader, output_folder=tmp_path, rescale=1, params=params,
+              model_kwargs=dict(cascade=((4, 64, 1),), hyp_chunk=4,
+                                dtype=jnp.float32))
+    files = sorted((tmp_path / "depths").glob("*.pfm"))
+    assert len(files) == 3
+    assert files[0].name == "0_scale1_nf2.pfm"
+    d = read_pfm(files[0])
+    # depth maps are written at the encoder's 1/4 resolution, matching the
+    # reference contract (core/raft.py:106-108 -> inference.py:57-59)
+    assert d.shape == (8, 8)
+    assert np.isfinite(d).all()
+
+
+def test_multires_merge_rule(tmp_path):
+    (tmp_path / "depths").mkdir(parents=True)
+    lo = np.full((8, 10), 10.0, np.float32)
+    hi = np.full((16, 20), 10.1, np.float32)
+    hi[0, 0] = 20.0  # disagrees -> low-res wins there
+    write_pfm(tmp_path / "depths" / "0_scale1.pfm", lo)
+    write_pfm(tmp_path / "depths" / "0_scale2.pfm", hi)
+    multires(tmp_path, suffix1="", suffix2="", th=0.02)
+    merged = read_pfm(tmp_path / "depths" / "0_th0.02.pfm")
+    assert merged.shape == (16, 20)
+    np.testing.assert_allclose(merged[8, 8], 10.1)  # agree -> high res
+    np.testing.assert_allclose(merged[0, 0], 10.0)  # disagree -> low res
+
+
+def test_align_image_to_depth_identity():
+    img = np.zeros((24, 32, 3), np.float32)
+    depth = np.zeros((24, 32), np.float32)
+    K = np.array([[30.0, 0, 16], [0, 30.0, 12], [0, 0, 1]])
+    E = np.eye(4)
+    img2, K2, E2 = align_image_to_depth(img, depth, 1, K, E)
+    assert img2.shape == (24, 32, 3)
+    np.testing.assert_allclose(K2, K)
+
+
+def test_fusion_plane_scene(tmp_path):
+    """Consistent plane depths across views -> nearly all pixels pass, fused
+    cloud lies on the plane z = Z0."""
+    scene = PlaneScene(n=4, H=24, W=32, Z0=10.0, num_frames=2)
+    (tmp_path / "depths").mkdir(parents=True)
+    for i in range(4):
+        write_pfm(tmp_path / "depths" / f"{i}_m.pfm", scene.depth(i))
+
+    loader = DataLoader(scene, batch_size=None, num_workers=0)
+    out = fusion(loader, tmp_path, suffix="_m", glb=0.25, rescale=1,
+                 tot_iter=4)
+    xyz, rgb = read_ply(out)
+    assert xyz.shape[0] > 0.5 * 4 * 24 * 32  # most pixels kept
+    np.testing.assert_allclose(xyz[:, 2], 10.0, atol=1e-3)
+    assert rgb.dtype == np.uint8
