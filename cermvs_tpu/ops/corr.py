@@ -35,7 +35,6 @@ from typing import List, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from cermvs_tpu.ops.geometry import pixel_coords_of_hypotheses
 from cermvs_tpu.ops.sampling import interp1d
 
 
@@ -99,6 +98,48 @@ def _gather_corr_chunk(f_ref, f_src_flat, coords, H, W):
     )
 
 
+def build_corr_volume_from(
+    f_ref: jnp.ndarray,
+    f_src: jnp.ndarray,
+    Pij: jnp.ndarray,
+    origin: jnp.ndarray,
+    n_hyp: int,
+    incre: float,
+    hyp_chunk: int = 16,
+) -> jnp.ndarray:
+    """Core volume builder on pre-gathered per-pair features.
+
+    f_ref/f_src: (B, V, H, W, C) already scaled by 1/8; Pij: (B, V, 4, 4)
+    relative projections; origin: (B, 1, H, W).  View-sharded callers hand in
+    locally-sharded V slices.  Hypothesis chunks run under ``lax.map`` so the
+    transient gather buffers stay at (B*V*chunk*H*W*C) regardless of D.
+    """
+    B, V, H, W, C = f_ref.shape
+    f_src_flat = f_src.reshape(B, V, H * W, C)
+
+    n_chunks = max(1, math.ceil(n_hyp / hyp_chunk))
+    padded = n_chunks * hyp_chunk
+    offsets = (jnp.arange(padded) - n_hyp // 2).astype(jnp.float32) * incre
+    offsets = offsets.reshape(n_chunks, hyp_chunk)
+
+    from cermvs_tpu.ops.geometry import apply_projection
+
+    def one_chunk(offs):
+        # (B, 1, K, H, W) hypothesis slab for this chunk
+        disps = origin[:, :, None, :, :] + offs[None, None, :, None, None]
+        coords = apply_projection(Pij, disps)
+        coords = jax.lax.stop_gradient(coords)
+        return _gather_corr_chunk(f_ref, f_src_flat, coords, H, W)
+
+    if n_chunks == 1:
+        corr = one_chunk(offsets[0])[:, :, None]
+    else:
+        corr = jax.lax.map(one_chunk, offsets)  # (n_chunks, B, V, K, H, W)
+        corr = jnp.moveaxis(corr, 0, 2)  # (B, V, n_chunks, K, H, W)
+    corr = corr.reshape(B, V, padded, H, W)[:, :, :n_hyp]
+    return jnp.moveaxis(corr, 2, -1)  # (B, V, H, W, D)
+
+
 def build_corr_volume(
     fmaps: jnp.ndarray,
     poses: jnp.ndarray,
@@ -113,34 +154,15 @@ def build_corr_volume(
     """Build the (B, V, H, W, D) epipolar correlation volume.
 
     fmaps: (B, N, H, W, C) feature maps (fp32); origin: (B, 1, H, W).
-    Hypothesis chunks are processed under ``lax.map`` so the transient
-    gather buffers stay at (B*V*chunk*H*W*C) regardless of D.
     """
-    B, N, H, W, C = fmaps.shape
-    V = int(ii.shape[0])
+    from cermvs_tpu.ops.geometry import relative_projection
+
     fmaps = fmaps.astype(jnp.float32) / 8.0
     f_ref = jnp.take(fmaps, ii, axis=1)
-    f_src_flat = jnp.take(fmaps, jj, axis=1).reshape(B, V, H * W, C)
-
-    n_chunks = max(1, math.ceil(n_hyp / hyp_chunk))
-    padded = n_chunks * hyp_chunk
-    offsets = (jnp.arange(padded) - n_hyp // 2).astype(jnp.float32) * incre
-    offsets = offsets.reshape(n_chunks, hyp_chunk)
-
-    def one_chunk(offs):
-        # (B, 1, K, H, W) hypothesis slab for this chunk
-        disps = origin[:, :, None, :, :] + offs[None, None, :, None, None]
-        coords = pixel_coords_of_hypotheses(poses, intrinsics, ii, jj, disps)
-        coords = jax.lax.stop_gradient(coords)
-        return _gather_corr_chunk(f_ref, f_src_flat, coords, H, W)
-
-    if n_chunks == 1:
-        corr = one_chunk(offsets[0])[:, :, None]
-    else:
-        corr = jax.lax.map(one_chunk, offsets)  # (n_chunks, B, V, K, H, W)
-        corr = jnp.moveaxis(corr, 0, 2)  # (B, V, n_chunks, K, H, W)
-    corr = corr.reshape(B, V, padded, H, W)[:, :, :n_hyp]
-    return jnp.moveaxis(corr, 2, -1)  # (B, V, H, W, D)
+    f_src = jnp.take(fmaps, jj, axis=1)
+    Pij = relative_projection(poses, intrinsics, ii, jj)
+    return build_corr_volume_from(
+        f_ref, f_src, Pij, origin, n_hyp, incre, hyp_chunk)
 
 
 def build_pyramid(corr: jnp.ndarray, num_levels: int = 3) -> List[jnp.ndarray]:

@@ -116,6 +116,24 @@ def projective_transform(
     return x1 / x1[..., 2:3]
 
 
+def apply_projection(Pij: jnp.ndarray, disps: jnp.ndarray,
+                     clamp: float = 1e4) -> jnp.ndarray:
+    """Apply precomputed relative projections to a hypothesis slab.
+
+    Pij: (B, V, 4, 4); disps: (B, V or 1, ..., H, W) -> (B, V, ..., H, W, 2)
+    sample coordinates, clamped to +-clamp (``core/corr.py:75``).  Separated
+    from :func:`projective_transform` so view-sharded callers can shard the
+    (tiny) Pij instead of whole pose/intrinsic stacks.
+    """
+    V = Pij.shape[1]
+    if disps.shape[1] == 1 and V > 1:
+        disps = jnp.broadcast_to(disps, (disps.shape[0], V) + disps.shape[2:])
+    x0 = coords_grid(disps)
+    x1 = jnp.einsum("bvkh,bv...h->bv...k", Pij, x0)
+    xy = x1[..., :2] / x1[..., 2:3]
+    return jnp.clip(xy, -clamp, clamp)
+
+
 def pixel_coords_of_hypotheses(
     poses, intrinsics, ii, jj, disps, clamp: float = 1e4
 ) -> jnp.ndarray:
@@ -124,10 +142,5 @@ def pixel_coords_of_hypotheses(
     disps: (B, 1 or V, D, H, W) -> returns (B, V, D, H, W, 2), clamped to
     +-clamp like ``core/corr.py:75``.
     """
-    if disps.shape[1] == 1 and ii.shape[0] > 1:
-        disps = jnp.broadcast_to(
-            disps, (disps.shape[0], ii.shape[0]) + disps.shape[2:]
-        )
-    x1 = projective_transform(poses, disps, intrinsics, ii, jj)
-    xy = x1[..., :2]
-    return jnp.clip(xy, -clamp, clamp)
+    Pij = relative_projection(poses, intrinsics, ii, jj)
+    return apply_projection(Pij, disps, clamp)

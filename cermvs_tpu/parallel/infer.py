@@ -1,0 +1,144 @@
+"""View-sharded inference: neighbor views partitioned across the mesh.
+
+The reference scales inference only by SLURM job fan-out
+(``/root/reference/scripts/submit_depthmap.py``); per-view cost volumes for up
+to 25 neighbors live on ONE GPU (the >=24 GB requirement).  Here the view axis
+is sharded over the mesh's ``view`` axis with ``shard_map``:
+
+  * each device encodes its local neighbor frames and builds cost-volume
+    pyramids for its local views only (HBM per chip scales as V/n);
+  * the per-iteration 33-channel lookups are reduced with a masked ``psum``
+    over the view axis — exactly the reference's mean aggregation
+    (``core/update.py:101-109``) turned into a collective;
+  * the GRU/update runs replicated on every device (it is tiny relative to
+    the volumes), so no further communication is needed per iteration.
+
+Views are zero-padded to a multiple of the axis size; padded views carry zero
+weight in the mean.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cermvs_tpu.ops import corr as corr_ops
+from cermvs_tpu.ops.geometry import relative_projection
+
+
+def view_sharded_forward(model, params, images, poses, intrinsics, scale,
+                         mesh: Mesh):
+    """Test-mode forward with neighbor views sharded over ``mesh``'s 'view'
+    axis.  Same contract as ``model.apply`` in test mode: returns (B, h, w)
+    scaled disparity.
+
+    Only ``aggregation=('mean',)`` is supported (the reference default).
+    """
+    assert tuple(model.aggregation if hasattr(model, "aggregation") else ("mean",)) == ("mean",)
+    n_shards = mesh.shape["view"]
+    B, N, H, W, _ = images.shape
+    V = N - 1
+    V_pad = -(-V // n_shards) * n_shards
+    factor = model.stride_factor
+    h, w = H // factor, W // factor
+    radius = model.radius
+    num_levels = model.num_levels
+    dim_net = model.dim_net
+
+    scale = jnp.asarray(scale, jnp.float32).reshape(B, 1, 1)
+    poses = poses.at[..., :3, 3].multiply(scale)
+    intrinsics = intrinsics.at[:, :, :2].divide(float(factor))
+    images = images.astype(jnp.float32) * (2.0 / 255.0) - 1.0
+
+    ii = jnp.zeros(V, jnp.int32)
+    jj = jnp.arange(1, N, dtype=jnp.int32)
+    Pij = relative_projection(poses, intrinsics, ii, jj)  # (B, V, 4, 4)
+    # pad the view axis with identity projections and zero weight
+    pad = V_pad - V
+    Pij = jnp.concatenate(
+        [Pij, jnp.broadcast_to(jnp.eye(4), (B, pad, 4, 4))], axis=1)
+    view_weight = jnp.concatenate(
+        [jnp.ones((V,), jnp.float32), jnp.zeros((pad,), jnp.float32)])
+    src_images = jnp.concatenate(
+        [images[:, 1:], jnp.zeros((B, pad, H, W, 3), images.dtype)], axis=1)
+    # (shards, per_shard, ...) so shard_map splits the leading axis
+    src_images = jnp.moveaxis(src_images, 1, 0)
+    Pij_s = jnp.moveaxis(Pij, 1, 0)
+
+    def cnet_fn(m, x):
+        return m.cnet(x)
+
+    def fnet_fn(m, x):
+        return m.fnet(x)
+
+    def update_fn(m, net, inp, disp, corr, stage):
+        return m.update_block(net, inp, disp, corr, stage)
+
+    def stage_params(stage: int) -> Tuple[int, float, int]:
+        n_hyp, n_div, n_iters = model.cascade[stage]
+        n_hyp = model._auto_hyps(n_hyp)
+        return n_hyp, 0.0025 / n_div, n_iters
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P("view"), P("view"), P("view")),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def run(params, ref_image, src_images_l, Pij_l, weight_l):
+        # src_images_l: (V_local, B, H, W, 3); weight_l: (V_local,)
+        V_local = src_images_l.shape[0]
+        net_inp = model.apply(params, ref_image, method=cnet_fn)
+        net = jnp.tanh(net_inp[..., :dim_net])
+        inp = jax.nn.relu(net_inp[..., dim_net:])
+
+        # encode local neighbor frames serially (memory-bounded)
+        f_src = jax.lax.map(
+            lambda img: model.apply(params, img, method=fnet_fn),
+            src_images_l)  # (V_local, B, h, w, C)
+        f_ref1 = model.apply(params, ref_image, method=fnet_fn)  # (B, h, w, C)
+
+        f_src = jnp.moveaxis(f_src, 0, 1).astype(jnp.float32) / 8.0
+        f_ref = jnp.broadcast_to(
+            (f_ref1.astype(jnp.float32) / 8.0)[:, None], f_src.shape)
+        Pij_bl = jnp.moveaxis(Pij_l, 0, 1)  # (B, V_local, 4, 4)
+        w_sum = jax.lax.psum(jnp.sum(weight_l), "view")
+
+        disp = jnp.zeros((B, h, w, 1), jnp.float32)
+        for stage in range(len(model.cascade)):
+            n_hyp, incre, n_iters = stage_params(stage)
+            origin = corr_ops.slab_origin(
+                disp[..., 0][:, None], n_hyp, incre, shift=(stage == 0))
+            vol = corr_ops.build_corr_volume_from(
+                f_ref, f_src, Pij_bl, origin, n_hyp, incre,
+                hyp_chunk=model.hyp_chunk)
+            pyr = corr_ops.CorrPyramid(
+                levels=corr_ops.build_pyramid(vol, num_levels),
+                origin=origin, incre=incre, n_hyp=n_hyp)
+
+            def body(carry, _):
+                net, disp = carry
+                zinv = jnp.broadcast_to(disp[..., 0][:, None], (B, V_local, h, w))
+                corr_local = corr_ops.lookup(pyr, zinv, radius)
+                # masked mean over ALL views via psum (core/update.py:103)
+                local = jnp.einsum(
+                    "bvhwc,v->bhwc", corr_local, weight_l)
+                corr_mean = jax.lax.psum(local, "view") / w_sum
+                net2, delta = model.apply(
+                    params, net, inp, disp, corr_mean[:, None], stage,
+                    method=update_fn)
+                return (net2, disp + delta), ()
+
+            (net, disp), _ = jax.lax.scan(
+                body, (net, disp), None, length=n_iters)
+
+        return disp[..., 0]
+
+    out = run(params, images[:, 0], src_images, Pij_s, view_weight)
+    return out * scale[..., 0]
