@@ -30,9 +30,14 @@ def random_scale_and_crop(
     smin: float = -0.15,
     smax: float = 0.5,
     rng: Optional[np.random.RandomState] = None,
+    use_native: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Scale by 2^U(smin, smax), crop to crop_size, fix intrinsics
-    (``data_utils.py:6-34``).  images (N,H,W,3), depths (N,H,W)."""
+    (``data_utils.py:6-34``).  images (N,H,W,3), depths (N,H,W).
+
+    Uses the native C++ fused resize+crop (``native/dataio.cpp``) when
+    available; falls back to cv2 per frame.
+    """
     rng = rng or np.random
     s = 2.0 ** rng.uniform(smin, smax)
     ht1, wd1 = images.shape[1:3]
@@ -42,14 +47,22 @@ def random_scale_and_crop(
     intrinsics[:, 0] *= float(wd2) / wd1
     intrinsics[:, 1] *= float(ht2) / ht1
 
-    images = _resize_stack(images, ht2, wd2, cv2.INTER_LINEAR)
-    depths = _resize_stack(depths, ht2, wd2, cv2.INTER_NEAREST)
-
     ch, cw = crop_size
     x0 = rng.randint(0, wd2 - cw + 1)
     y0 = rng.randint(0, ht2 - ch + 1)
-    images = images[:, y0 : y0 + ch, x0 : x0 + cw]
-    depths = depths[:, y0 : y0 + ch, x0 : x0 + cw]
+
+    from cermvs_tpu.io import native
+
+    if use_native and native.available():
+        images = native.scale_and_crop(images, ht2, wd2, y0, x0, ch, cw,
+                                       nearest=False)
+        depths = native.scale_and_crop(depths, ht2, wd2, y0, x0, ch, cw,
+                                       nearest=True)
+    else:
+        images = _resize_stack(images, ht2, wd2, cv2.INTER_LINEAR)
+        depths = _resize_stack(depths, ht2, wd2, cv2.INTER_NEAREST)
+        images = images[:, y0 : y0 + ch, x0 : x0 + cw]
+        depths = depths[:, y0 : y0 + ch, x0 : x0 + cw]
     intrinsics[:, 0, 2] -= x0
     intrinsics[:, 1, 2] -= y0
     return images, depths, intrinsics

@@ -30,7 +30,7 @@ from cermvs_tpu.data.cams import read_cam_file
 from cermvs_tpu.data.augment import random_scale_and_crop
 from cermvs_tpu.data.loader import Dataset
 from cermvs_tpu.data.pairs import backfill_neighbors, load_pair
-from cermvs_tpu.io.pfm import read_pfm
+from cermvs_tpu.io import read_pfm_fast as read_pfm
 
 TRAINING_SET = [
     113, 14, 124, 111, 89, 45, 61, 104, 63, 22, 73, 39, 16, 42, 57, 8, 120,

@@ -186,15 +186,54 @@ def lookup(
     reference passes ``disp[:, ii]``, ``core/raft.py:98``).
     Returns (B, V, H, W, num_levels*(2r+1)) matching ``core/corr.py:140-143``
     (channel order: level-major, tap-minor).
+
+    TPU note: for the cascade's hypothesis counts (D <= 64 at every stage,
+    ``core/raft.py:14,76-80``) this is computed GATHER-FREE as a banded
+    weighted reduction over the hypothesis (lane) axis — the per-pixel
+    fractional index only shifts a band of lerp weights, which XLA fuses into
+    compare/select/multiply/reduce on the VPU.  The reference instead runs 33
+    ``grid_sample`` gathers per pixel per iteration (``core/corr.py:112-139``).
+    Falls back to gather-based interp for very large D.
     """
     x0 = jnp.maximum(
         (zinv - pyramid.origin) / pyramid.incre + pyramid.n_hyp // 2, 0.0
     )
+    if pyramid.n_hyp <= 128:
+        return _lookup_banded(pyramid.levels, x0, radius)
     dx = jnp.arange(-radius, radius + 1, dtype=x0.dtype)
     outs = []
     for i, corr in enumerate(pyramid.levels):
         taps = x0[..., None] / (2.0 ** i) + dx
         outs.append(interp1d(corr, taps))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _lookup_banded(levels, x0: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Gather-free multi-level lookup.
+
+    For level l, tap k: position q = x0/2^l + k; since k is an integer, the
+    fractional part f_l = frac(x0/2^l) is shared by all taps and
+    ``value[.., k] = (1-f_l) * pool_l[c0+k] + f_l * pool_l[c0+k+1]`` with
+    ``c0 = floor(x0/2^l)``.  Selecting pool_l[c0+k] is a one-hot band over
+    the D_l axis built from a static iota compared against c0 — a dense
+    multiply-reduce instead of a gather, with zero padding outside [0, D_l-1]
+    for free (the one-hot simply never fires).
+    """
+    K = 2 * radius + 1
+    outs = []
+    for lvl, corr in enumerate(levels):
+        D_l = corr.shape[-1]
+        q = x0 / (2.0 ** lvl)
+        c0 = jnp.floor(q)
+        f = (q - c0)[..., None]  # (..., 1)
+        c0 = c0.astype(jnp.int32)
+        j = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, D_l), 4)
+        # window cell index of each hypothesis: s[k] = pool[c0 - r + k]
+        a = j - (c0[..., None] - radius)  # (..., D_l)
+        k_idx = jnp.arange(K + 1, dtype=jnp.int32).reshape(K + 1, 1)
+        onehot = (a[..., None, :] == k_idx).astype(corr.dtype)  # (..,K+1,D_l)
+        s = jnp.einsum("bvhwj,bvhwkj->bvhwk", corr, onehot)
+        outs.append((1.0 - f) * s[..., :-1] + f * s[..., 1:])
     return jnp.concatenate(outs, axis=-1)
 
 
