@@ -61,11 +61,14 @@ def slab_origin(disp: jnp.ndarray, n_hyp: int, incre: float, shift: bool):
     return disp
 
 
-def _gather_corr_chunk(f_ref, f_src_flat, coords, H, W):
-    """Correlation for one hypothesis chunk.
+def _gather_corr_chunk(f_ref, f_pairs, coords, H, W):
+    """Correlation for one hypothesis chunk via paired-corner gathers.
 
     f_ref: (B, V, H, W, C) reference features (already scaled)
-    f_src_flat: (B, V, H*W, C) source features (already scaled)
+    f_pairs: (B, V, H*(W+2), 2C) zero-column-padded source features where row
+        i holds ``f_pad[i] ++ f_pad[i+1]`` (see :func:`_make_corner_pairs`) —
+        one gather fetches BOTH x-adjacent bilinear corners as a contiguous
+        2C row, halving the gather count vs per-corner fetches
     coords: (B, V, K, H, W, 2) sample coords in the source view
     returns (B, V, K, H, W) correlation.
     """
@@ -74,28 +77,41 @@ def _gather_corr_chunk(f_ref, f_src_flat, coords, H, W):
     y0 = jnp.floor(y)
     fx = x - x0
     fy = y - y0
-    ix0 = x0.astype(jnp.int32)
-    iy0 = y0.astype(jnp.int32)
+    ix = x0.astype(jnp.int32)
+    iy = y0.astype(jnp.int32)
 
     B, V, K = x.shape[:3]
+    C = f_ref.shape[-1]
+    Wp = W + 2
+    # padded column index: for ix in [-1, W-1] the pair (xp, xp+1) holds the
+    # true corners (padding columns are zero); farther out both corners are
+    # masked anyway, so the clip target is irrelevant
+    xp = jnp.clip(ix + 1, 0, W)
+    in_x0 = (ix >= 0) & (ix <= W - 1)
+    in_x1 = (ix + 1 >= 0) & (ix + 1 <= W - 1)
 
-    def corner(iy, ix, w):
-        inside = (ix >= 0) & (ix <= W - 1) & (iy >= 0) & (iy <= H - 1)
-        idx = jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1)
-        idx = idx.reshape(B, V, K * H * W)
-        g = jnp.take_along_axis(f_src_flat, idx[..., None], axis=2)
-        g = g.reshape(B, V, K, H, W, -1)
-        # dot over channels fuses with the gather; weight applied after the
-        # reduction keeps the elementwise work on (B,V,K,H,W) only.
-        dot = jnp.einsum("bvkhwc,bvhwc->bvkhw", g, f_ref)
-        return dot * (w * inside.astype(dot.dtype))
+    def ypair(iyr, wy):
+        in_y = (iyr >= 0) & (iyr <= H - 1)
+        idx = jnp.clip(iyr, 0, H - 1) * Wp + xp
+        g = jnp.take_along_axis(
+            f_pairs, idx.reshape(B, V, K * H * W)[..., None], axis=2)
+        g = g.reshape(B, V, K, H, W, 2 * C)
+        d0 = jnp.einsum("bvkhwc,bvhwc->bvkhw", g[..., :C], f_ref)
+        d1 = jnp.einsum("bvkhwc,bvhwc->bvkhw", g[..., C:], f_ref)
+        w0 = ((1 - fx) * wy) * (in_y & in_x0).astype(d0.dtype)
+        w1 = (fx * wy) * (in_y & in_x1).astype(d0.dtype)
+        return d0 * w0 + d1 * w1
 
-    return (
-        corner(iy0, ix0, (1 - fx) * (1 - fy))
-        + corner(iy0, ix0 + 1, fx * (1 - fy))
-        + corner(iy0 + 1, ix0, (1 - fx) * fy)
-        + corner(iy0 + 1, ix0 + 1, fx * fy)
-    )
+    return ypair(iy, 1 - fy) + ypair(iy + 1, fy)
+
+
+def _make_corner_pairs(f_src: jnp.ndarray) -> jnp.ndarray:
+    """(B, V, H, W, C) -> (B, V, H*(W+2), 2C) padded corner-pair rows."""
+    B, V, H, W, C = f_src.shape
+    f_pad = jnp.pad(f_src, ((0, 0), (0, 0), (0, 0), (1, 1), (0, 0)))
+    flat = f_pad.reshape(B, V, H * (W + 2), C)
+    rolled = jnp.roll(flat, -1, axis=2)
+    return jnp.concatenate([flat, rolled], axis=-1)
 
 
 def build_corr_volume_from(
@@ -115,7 +131,7 @@ def build_corr_volume_from(
     transient gather buffers stay at (B*V*chunk*H*W*C) regardless of D.
     """
     B, V, H, W, C = f_ref.shape
-    f_src_flat = f_src.reshape(B, V, H * W, C)
+    f_pairs = _make_corner_pairs(f_src)
 
     n_chunks = max(1, math.ceil(n_hyp / hyp_chunk))
     padded = n_chunks * hyp_chunk
@@ -129,7 +145,7 @@ def build_corr_volume_from(
         disps = origin[:, :, None, :, :] + offs[None, None, :, None, None]
         coords = apply_projection(Pij, disps)
         coords = jax.lax.stop_gradient(coords)
-        return _gather_corr_chunk(f_ref, f_src_flat, coords, H, W)
+        return _gather_corr_chunk(f_ref, f_pairs, coords, H, W)
 
     if n_chunks == 1:
         corr = one_chunk(offsets[0])[:, :, None]
