@@ -57,15 +57,17 @@ def main():
 
     fwd = jax.jit(lambda p, im, po, k, s: model.apply(p, im, po, k, s))
 
-    # compile + warmup
+    # compile + warmup (host fetch forces real completion through the
+    # remote-execution path — block_until_ready alone has proven unreliable
+    # on tunneled backends)
     out = fwd(params, images, poses, intrinsics, scale)
-    jax.block_until_ready(out)
+    _ = np.asarray(out)
 
     iters = 3 if small else 5
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fwd(params, images, poses, intrinsics, scale)
-    jax.block_until_ready(out)
+        _ = np.asarray(out)
     dt = (time.perf_counter() - t0) / iters
 
     maps_per_sec = 1.0 / dt

@@ -1,0 +1,1 @@
+from cermvs_tpu.ops import corr, geometry, sampling

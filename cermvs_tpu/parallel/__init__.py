@@ -1,0 +1,3 @@
+from cermvs_tpu.parallel.mesh import (
+    batch_sharded, initialize_distributed, make_mesh, replicated, view_sharded,
+)
