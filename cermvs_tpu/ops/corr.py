@@ -61,14 +61,17 @@ def slab_origin(disp: jnp.ndarray, n_hyp: int, incre: float, shift: bool):
     return disp
 
 
-def _gather_corr_chunk(f_ref, f_pairs, coords, H, W):
-    """Correlation for one hypothesis chunk via paired-corner gathers.
+def _gather_corr_chunk(f_ref, f_quads, coords, H, W):
+    """Correlation for one hypothesis chunk via quad-corner gathers.
 
     f_ref: (B, V, H, W, C) reference features (already scaled)
-    f_pairs: (B, V, H*(W+2), 2C) zero-column-padded source features where row
-        i holds ``f_pad[i] ++ f_pad[i+1]`` (see :func:`_make_corner_pairs`) —
-        one gather fetches BOTH x-adjacent bilinear corners as a contiguous
-        2C row, halving the gather count vs per-corner fetches
+    f_quads: (B, V, (H+2)*(W+2), 4C) zero-padded source features where row i
+        holds all four bilinear corners ``[f[y,x], f[y,x+1], f[y+1,x],
+        f[y+1,x+1]]`` (see :func:`_make_corner_quads`) — ONE gather per
+        (pixel, hypothesis) fetches every corner as a contiguous 4C row.
+        Construction is gather-DESCRIPTOR-rate-bound on TPU (measured:
+        per-descriptor cost, insensitive to row bytes), so minimizing
+        descriptors per sample is the lever.
     coords: (B, V, K, H, W, 2) sample coords in the source view
     returns (B, V, K, H, W) correlation.
     """
@@ -83,35 +86,40 @@ def _gather_corr_chunk(f_ref, f_pairs, coords, H, W):
     B, V, K = x.shape[:3]
     C = f_ref.shape[-1]
     Wp = W + 2
-    # padded column index: for ix in [-1, W-1] the pair (xp, xp+1) holds the
-    # true corners (padding columns are zero); farther out both corners are
+    # padded indices: for ix in [-1, W-1] / iy in [-1, H-1] the quad holds the
+    # true corners (padding rows/cols are zero); farther out every corner is
     # masked anyway, so the clip target is irrelevant
     xp = jnp.clip(ix + 1, 0, W)
-    in_x0 = (ix >= 0) & (ix <= W - 1)
-    in_x1 = (ix + 1 >= 0) & (ix + 1 <= W - 1)
+    yp = jnp.clip(iy + 1, 0, H)
+    idx = yp * Wp + xp
+    in_x0 = ((ix >= 0) & (ix <= W - 1)).astype(f_ref.dtype)
+    in_x1 = ((ix + 1 >= 0) & (ix + 1 <= W - 1)).astype(f_ref.dtype)
+    in_y0 = ((iy >= 0) & (iy <= H - 1)).astype(f_ref.dtype)
+    in_y1 = ((iy + 1 >= 0) & (iy + 1 <= H - 1)).astype(f_ref.dtype)
 
-    def ypair(iyr, wy):
-        in_y = (iyr >= 0) & (iyr <= H - 1)
-        idx = jnp.clip(iyr, 0, H - 1) * Wp + xp
-        g = jnp.take_along_axis(
-            f_pairs, idx.reshape(B, V, K * H * W)[..., None], axis=2)
-        g = g.reshape(B, V, K, H, W, 2 * C)
-        d0 = jnp.einsum("bvkhwc,bvhwc->bvkhw", g[..., :C], f_ref)
-        d1 = jnp.einsum("bvkhwc,bvhwc->bvkhw", g[..., C:], f_ref)
-        w0 = ((1 - fx) * wy) * (in_y & in_x0).astype(d0.dtype)
-        w1 = (fx * wy) * (in_y & in_x1).astype(d0.dtype)
-        return d0 * w0 + d1 * w1
-
-    return ypair(iy, 1 - fy) + ypair(iy + 1, fy)
+    g = jnp.take_along_axis(
+        f_quads, idx.reshape(B, V, K * H * W)[..., None], axis=2)
+    g = g.reshape(B, V, K, H, W, 4 * C)
+    dot = lambda q: jnp.einsum(
+        "bvkhwc,bvhwc->bvkhw", g[..., q * C : (q + 1) * C], f_ref)
+    return (
+        dot(0) * ((1 - fx) * (1 - fy) * in_x0 * in_y0)
+        + dot(1) * (fx * (1 - fy) * in_x1 * in_y0)
+        + dot(2) * ((1 - fx) * fy * in_x0 * in_y1)
+        + dot(3) * (fx * fy * in_x1 * in_y1)
+    )
 
 
-def _make_corner_pairs(f_src: jnp.ndarray) -> jnp.ndarray:
-    """(B, V, H, W, C) -> (B, V, H*(W+2), 2C) padded corner-pair rows."""
+def _make_corner_quads(f_src: jnp.ndarray) -> jnp.ndarray:
+    """(B, V, H, W, C) -> (B, V, (H+2)*(W+2), 4C) padded corner-quad rows."""
     B, V, H, W, C = f_src.shape
-    f_pad = jnp.pad(f_src, ((0, 0), (0, 0), (0, 0), (1, 1), (0, 0)))
-    flat = f_pad.reshape(B, V, H * (W + 2), C)
-    rolled = jnp.roll(flat, -1, axis=2)
-    return jnp.concatenate([flat, rolled], axis=-1)
+    Wp = W + 2
+    f_pad = jnp.pad(f_src, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
+    flat = f_pad.reshape(B, V, (H + 2) * Wp, C)
+    r1 = jnp.roll(flat, -1, axis=2)
+    rW = jnp.roll(flat, -Wp, axis=2)
+    rW1 = jnp.roll(flat, -(Wp + 1), axis=2)
+    return jnp.concatenate([flat, r1, rW, rW1], axis=-1)
 
 
 def build_corr_volume_from(
@@ -131,7 +139,7 @@ def build_corr_volume_from(
     transient gather buffers stay at (B*V*chunk*H*W*C) regardless of D.
     """
     B, V, H, W, C = f_ref.shape
-    f_pairs = _make_corner_pairs(f_src)
+    f_quads = _make_corner_quads(f_src)
 
     n_chunks = max(1, math.ceil(n_hyp / hyp_chunk))
     padded = n_chunks * hyp_chunk
@@ -145,7 +153,7 @@ def build_corr_volume_from(
         disps = origin[:, :, None, :, :] + offs[None, None, :, None, None]
         coords = apply_projection(Pij, disps)
         coords = jax.lax.stop_gradient(coords)
-        return _gather_corr_chunk(f_ref, f_pairs, coords, H, W)
+        return _gather_corr_chunk(f_ref, f_quads, coords, H, W)
 
     if n_chunks == 1:
         corr = one_chunk(offsets[0])[:, :, None]
