@@ -53,6 +53,9 @@ class RAFT(nn.Module):
     hyp_chunk: int = 16
     remat: bool = True
     unroll_iters: bool = False
+    # "banded" (gather-free XLA), "pallas" (fused kernel, pools in-VMEM,
+    # no pyramid storage), or "gather" (reference-style interp fallback)
+    lookup_impl: str = "banded"
     dtype: Any = jnp.bfloat16
     # pluggable cost-volume builder (e.g. the Pallas kernel); must match
     # ops.corr.build_corr_volume's signature
@@ -127,6 +130,7 @@ class RAFT(nn.Module):
                 n_hyp, incre, shift=(stage == 0),
                 num_levels=self.num_levels, hyp_chunk=self.hyp_chunk,
                 volume_fn=self.volume_fn,
+                materialize_pyramid=(self.lookup_impl != "pallas"),
             )
 
             def body(mdl, carry, _, _pyr=pyr, _inp=inp, _stage=stage):
@@ -134,7 +138,8 @@ class RAFT(nn.Module):
                 disp = jax.lax.stop_gradient(disp)
                 zinv = jnp.broadcast_to(
                     disp[..., 0][:, None], (B, V, h, w))
-                corr_frames = corr_ops.lookup(_pyr, zinv, mdl.radius)
+                corr_frames = corr_ops.lookup(
+                    _pyr, zinv, mdl.radius, impl=mdl.lookup_impl)
                 net, delta = mdl.update_block(
                     net, _inp, disp, corr_frames, _stage)
                 disp = disp + delta

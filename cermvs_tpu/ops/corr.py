@@ -39,12 +39,17 @@ from cermvs_tpu.ops.sampling import interp1d
 
 
 class CorrPyramid(NamedTuple):
-    """Correlation pyramid + slab parameters for one cascade stage."""
+    """Correlation pyramid + slab parameters for one cascade stage.
+
+    With the fused Pallas lookup only level 0 is materialized
+    (``levels == [corr0]``); pooling happens inside the kernel.
+    """
 
     levels: List[jnp.ndarray]  # each (B, V, H, W, D / 2^i), fp32
     origin: jnp.ndarray        # (B, 1, H, W) per-pixel slab origin (inv depth)
     incre: float               # hypothesis spacing (inverse-depth units)
     n_hyp: int                 # D at level 0
+    num_levels: int = 3
 
 
 def slab_origin(disp: jnp.ndarray, n_hyp: int, incre: float, shift: bool):
@@ -203,6 +208,7 @@ def lookup(
     pyramid: CorrPyramid,
     zinv: jnp.ndarray,
     radius: int = 5,
+    impl: str = "banded",
 ) -> jnp.ndarray:
     """Sample 2r+1 taps per pyramid level around the current estimate.
 
@@ -222,7 +228,13 @@ def lookup(
     x0 = jnp.maximum(
         (zinv - pyramid.origin) / pyramid.incre + pyramid.n_hyp // 2, 0.0
     )
-    if pyramid.n_hyp <= 128:
+    if impl == "pallas":
+        from cermvs_tpu.ops.pallas.lookup import lookup_fused
+
+        return lookup_fused(pyramid.levels[0], x0, radius, pyramid.num_levels)
+    if impl == "banded" and pyramid.n_hyp <= 128:
+        assert len(pyramid.levels) == pyramid.num_levels, \
+            "banded lookup needs the materialized pyramid"
         return _lookup_banded(pyramid.levels, x0, radius)
     dx = jnp.arange(-radius, radius + 1, dtype=x0.dtype)
     outs = []
@@ -264,22 +276,26 @@ def _lookup_banded(levels, x0: jnp.ndarray, radius: int) -> jnp.ndarray:
 def build_corr_pyramid(
     fmaps, poses, intrinsics, ii, jj, disp, n_hyp, incre,
     shift: bool, num_levels: int = 3, hyp_chunk: int = 16,
-    volume_fn=None,
+    volume_fn=None, materialize_pyramid: bool = True,
 ) -> CorrPyramid:
     """CorrBlock constructor equivalent (``core/corr.py:46-99``).
 
     disp: (B, 1, H, W) detached current estimate.  ``volume_fn`` lets callers
-    swap in the Pallas kernel; it must match :func:`build_corr_volume`'s
-    signature.
+    swap in an alternative builder; it must match
+    :func:`build_corr_volume`'s signature.  With
+    ``materialize_pyramid=False`` only level 0 is kept (for the fused Pallas
+    lookup, which pools in-kernel).
     """
     origin = slab_origin(jax.lax.stop_gradient(disp), n_hyp, incre, shift)
     fn = volume_fn or build_corr_volume
     corr = fn(fmaps, poses, intrinsics, ii, jj, origin, n_hyp, incre, hyp_chunk)
+    levels = build_pyramid(corr, num_levels) if materialize_pyramid else [corr]
     return CorrPyramid(
-        levels=build_pyramid(corr, num_levels),
+        levels=levels,
         origin=origin,
         incre=incre,
         n_hyp=n_hyp,
+        num_levels=num_levels,
     )
 
 

@@ -118,14 +118,17 @@ def view_sharded_forward(model, params, images, poses, intrinsics, scale,
             vol = corr_ops.build_corr_volume_from(
                 f_ref, f_src, Pij_bl, origin, n_hyp, incre,
                 hyp_chunk=model.hyp_chunk)
+            impl = model.lookup_impl
+            levels = (corr_ops.build_pyramid(vol, num_levels)
+                      if impl != "pallas" else [vol])
             pyr = corr_ops.CorrPyramid(
-                levels=corr_ops.build_pyramid(vol, num_levels),
-                origin=origin, incre=incre, n_hyp=n_hyp)
+                levels=levels, origin=origin, incre=incre, n_hyp=n_hyp,
+                num_levels=num_levels)
 
             def body(carry, _):
                 net, disp = carry
                 zinv = jnp.broadcast_to(disp[..., 0][:, None], (B, V_local, h, w))
-                corr_local = corr_ops.lookup(pyr, zinv, radius)
+                corr_local = corr_ops.lookup(pyr, zinv, radius, impl=impl)
                 # masked mean over ALL views via psum (core/update.py:103)
                 local = jnp.einsum(
                     "bvhwc,v->bhwc", corr_local, weight_l)
