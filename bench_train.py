@@ -1,0 +1,79 @@
+"""Training-step throughput on the DTU configuration.
+
+Reference point: 216,090 steps / 6 days on 2x RTX 3090 at batch 2, crop
+1056x1440, 10 neighbors (BASELINE.md) => 0.417 steps/s total, 0.21
+steps/s/GPU.
+
+Prints one JSON line {metric, value, unit, vs_baseline} with
+vs_baseline = our steps/s/chip / 0.21.
+
+Usage: python bench_train.py [--small] [--batch N] [--crop H W]
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_STEPS_PER_SEC_PER_CHIP = 0.21
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cermvs_tpu.models.raft import RAFT
+    from cermvs_tpu.training.optim import fetch_optimizer
+    from cermvs_tpu.training.step import init_state, make_train_step
+
+    small = "--small" in sys.argv
+    argv = sys.argv
+    batch = int(argv[argv.index("--batch") + 1]) if "--batch" in argv else 2
+    if "--crop" in argv:
+        i = argv.index("--crop")
+        H, W = int(argv[i + 1]), int(argv[i + 2])
+    else:
+        H, W = (256, 320) if small else (1056, 1440)
+    N = 4 if small else 11  # ref + neighbors (DTU train nf=10)
+
+    rng = np.random.RandomState(0)
+    K = np.array([[2892.0 * W / 1600, 0, W / 2], [0, 2892.0 * W / 1600, H / 2],
+                  [0, 0, 1]], np.float32)
+    poses = np.tile(np.eye(4, dtype=np.float32), (batch, N, 1, 1))
+    rs = np.random.RandomState(1)
+    for i in range(1, N):
+        poses[:, i, :3, 3] = rs.randn(3) * 20.0
+    batch_data = {
+        "images": jnp.asarray((rng.rand(batch, N, H, W, 3) * 255).astype(np.float32)),
+        "depths": jnp.asarray((rng.rand(batch, N, H, W) * 400 + 400).astype(np.float32)),
+        "poses": jnp.asarray(poses),
+        "intrinsics": jnp.asarray(np.tile(K, (batch, N, 1, 1))),
+    }
+
+    model = RAFT(hyp_chunk=8)
+    tx, _ = fetch_optimizer(num_steps=1000)
+    state = init_state(model, tx, jax.random.PRNGKey(0), batch_data)
+    step = make_train_step(model, tx, donate=False)
+
+    state, metrics = step(state, batch_data, 0.5)
+    _ = float(metrics["loss"])  # force completion
+
+    iters = 2 if not small else 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, batch_data, 0.5)
+        _ = float(metrics["loss"])
+    dt = (time.perf_counter() - t0) / iters
+
+    sps = 1.0 / dt
+    print(json.dumps({
+        "metric": f"train steps/s/chip (DTU {H}x{W} b{batch} nf{N-1})",
+        "value": round(sps, 4),
+        "unit": "steps/s",
+        "vs_baseline": round(sps / BASELINE_STEPS_PER_SEC_PER_CHIP, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -56,6 +56,11 @@ class RAFT(nn.Module):
     # "banded" (gather-free XLA), "pallas" (fused kernel, pools in-VMEM,
     # no pyramid storage), or "gather" (reference-style interp fallback)
     lookup_impl: str = "banded"
+    # multi-view aggregation of correlation features (core/update.py:101-109)
+    aggregation: Sequence[str] = ("mean",)
+    # debug/testing: keep per-view volumes even when mean aggregation would
+    # allow folding the view average into the volume
+    force_per_view_volumes: bool = False
     dtype: Any = jnp.bfloat16
     # pluggable cost-volume builder (e.g. the Pallas kernel); must match
     # ops.corr.build_corr_volume's signature
@@ -70,8 +75,18 @@ class RAFT(nn.Module):
             type=self.encoder_type, dtype=self.dtype, name="cnet")
         self.update_block = UpdateBlock(
             cascade=self.cascade, dim_net=self.dim_net, dim_inp=self.dim_inp,
-            num_levels=self.num_levels, radius=self.radius, dtype=self.dtype,
+            num_levels=self.num_levels, radius=self.radius,
+            aggregation=self.aggregation, dtype=self.dtype,
             name="update_block")
+
+    @property
+    def mean_volume(self) -> bool:
+        """Mean is the only aggregation => fold it into the volume: the
+        lookup index depends only on the shared reference disparity, so
+        lookups of the view-averaged volume equal the average of per-view
+        lookups exactly (see ops.corr.build_corr_volume_from)."""
+        return (tuple(self.aggregation) == ("mean",)
+                and not self.force_per_view_volumes)
 
     @property
     def stride_factor(self) -> int:
@@ -131,13 +146,16 @@ class RAFT(nn.Module):
                 num_levels=self.num_levels, hyp_chunk=self.hyp_chunk,
                 volume_fn=self.volume_fn,
                 materialize_pyramid=(self.lookup_impl != "pallas"),
+                mean_over_views=self.mean_volume,
             )
+            Vv = 1 if self.mean_volume else V
 
-            def body(mdl, carry, _, _pyr=pyr, _inp=inp, _stage=stage):
+            def body(mdl, carry, _, _pyr=pyr, _inp=inp, _stage=stage,
+                     _Vv=Vv):
                 net, disp = carry
                 disp = jax.lax.stop_gradient(disp)
                 zinv = jnp.broadcast_to(
-                    disp[..., 0][:, None], (B, V, h, w))
+                    disp[..., 0][:, None], (B, _Vv, h, w))
                 corr_frames = corr_ops.lookup(
                     _pyr, zinv, mdl.radius, impl=mdl.lookup_impl)
                 net, delta = mdl.update_block(

@@ -135,6 +135,7 @@ def build_corr_volume_from(
     n_hyp: int,
     incre: float,
     hyp_chunk: int = 16,
+    mean_over_views: bool = False,
 ) -> jnp.ndarray:
     """Core volume builder on pre-gathered per-pair features.
 
@@ -142,6 +143,14 @@ def build_corr_volume_from(
     relative projections; origin: (B, 1, H, W).  View-sharded callers hand in
     locally-sharded V slices.  Hypothesis chunks run under ``lax.map`` so the
     transient gather buffers stay at (B*V*chunk*H*W*C) regardless of D.
+
+    ``mean_over_views=True`` returns the view-AVERAGED volume (B, 1, H, W, D).
+    Because the lookup is linear in the volume and its index depends only on
+    the (shared) reference disparity, ``mean_v lookup(vol_v) ==
+    lookup(mean_v vol_v)`` EXACTLY — so for the reference's default mean
+    aggregation (``core/update.py:101-103``) the per-view volumes never need
+    to be materialized: V-fold less cost-volume memory and V-fold cheaper
+    per-iteration lookups.
     """
     B, V, H, W, C = f_ref.shape
     f_quads = _make_corner_quads(f_src)
@@ -158,15 +167,19 @@ def build_corr_volume_from(
         disps = origin[:, :, None, :, :] + offs[None, None, :, None, None]
         coords = apply_projection(Pij, disps)
         coords = jax.lax.stop_gradient(coords)
-        return _gather_corr_chunk(f_ref, f_quads, coords, H, W)
+        corr = _gather_corr_chunk(f_ref, f_quads, coords, H, W)
+        if mean_over_views:
+            corr = corr.mean(axis=1, keepdims=True)
+        return corr
 
+    Vo = 1 if mean_over_views else V
     if n_chunks == 1:
         corr = one_chunk(offsets[0])[:, :, None]
     else:
-        corr = jax.lax.map(one_chunk, offsets)  # (n_chunks, B, V, K, H, W)
-        corr = jnp.moveaxis(corr, 0, 2)  # (B, V, n_chunks, K, H, W)
-    corr = corr.reshape(B, V, padded, H, W)[:, :, :n_hyp]
-    return jnp.moveaxis(corr, 2, -1)  # (B, V, H, W, D)
+        corr = jax.lax.map(one_chunk, offsets)  # (n_chunks, B, Vo, K, H, W)
+        corr = jnp.moveaxis(corr, 0, 2)  # (B, Vo, n_chunks, K, H, W)
+    corr = corr.reshape(B, Vo, padded, H, W)[:, :, :n_hyp]
+    return jnp.moveaxis(corr, 2, -1)  # (B, Vo, H, W, D)
 
 
 def build_corr_volume(
@@ -179,8 +192,10 @@ def build_corr_volume(
     n_hyp: int,
     incre: float,
     hyp_chunk: int = 16,
+    mean_over_views: bool = False,
 ) -> jnp.ndarray:
-    """Build the (B, V, H, W, D) epipolar correlation volume.
+    """Build the (B, V, H, W, D) epipolar correlation volume
+    (or (B, 1, H, W, D) view-averaged — see :func:`build_corr_volume_from`).
 
     fmaps: (B, N, H, W, C) feature maps (fp32); origin: (B, 1, H, W).
     """
@@ -191,7 +206,7 @@ def build_corr_volume(
     f_src = jnp.take(fmaps, jj, axis=1)
     Pij = relative_projection(poses, intrinsics, ii, jj)
     return build_corr_volume_from(
-        f_ref, f_src, Pij, origin, n_hyp, incre, hyp_chunk)
+        f_ref, f_src, Pij, origin, n_hyp, incre, hyp_chunk, mean_over_views)
 
 
 def build_pyramid(corr: jnp.ndarray, num_levels: int = 3) -> List[jnp.ndarray]:
@@ -277,6 +292,7 @@ def build_corr_pyramid(
     fmaps, poses, intrinsics, ii, jj, disp, n_hyp, incre,
     shift: bool, num_levels: int = 3, hyp_chunk: int = 16,
     volume_fn=None, materialize_pyramid: bool = True,
+    mean_over_views: bool = False,
 ) -> CorrPyramid:
     """CorrBlock constructor equivalent (``core/corr.py:46-99``).
 
@@ -288,7 +304,8 @@ def build_corr_pyramid(
     """
     origin = slab_origin(jax.lax.stop_gradient(disp), n_hyp, incre, shift)
     fn = volume_fn or build_corr_volume
-    corr = fn(fmaps, poses, intrinsics, ii, jj, origin, n_hyp, incre, hyp_chunk)
+    corr = fn(fmaps, poses, intrinsics, ii, jj, origin, n_hyp, incre,
+              hyp_chunk, mean_over_views)
     levels = build_pyramid(corr, num_levels) if materialize_pyramid else [corr]
     return CorrPyramid(
         levels=levels,

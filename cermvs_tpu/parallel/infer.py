@@ -5,13 +5,15 @@ The reference scales inference only by SLURM job fan-out
 to 25 neighbors live on ONE GPU (the >=24 GB requirement).  Here the view axis
 is sharded over the mesh's ``view`` axis with ``shard_map``:
 
-  * each device encodes its local neighbor frames and builds cost-volume
-    pyramids for its local views only (HBM per chip scales as V/n);
-  * the per-iteration 33-channel lookups are reduced with a masked ``psum``
-    over the view axis — exactly the reference's mean aggregation
-    (``core/update.py:101-109``) turned into a collective;
-  * the GRU/update runs replicated on every device (it is tiny relative to
-    the volumes), so no further communication is needed per iteration.
+  * each device encodes its local neighbor frames and builds a partial
+    view-sum cost volume from its local views only (per-chip gather work and
+    encoder work scale as V/n);
+  * ONE ``psum`` per cascade stage reduces the partial sums into the global
+    view-mean volume — the reference's per-iteration mean aggregation
+    (``core/update.py:101-109``) collapses to a single collective because
+    the lookup is linear and its index is view-independent;
+  * the GRU/update and lookups then run replicated with zero per-iteration
+    communication.
 
 Views are zero-padded to a multiple of the axis size; padded views carry zero
 weight in the mean.
@@ -39,7 +41,8 @@ def view_sharded_forward(model, params, images, poses, intrinsics, scale,
 
     Only ``aggregation=('mean',)`` is supported (the reference default).
     """
-    assert tuple(model.aggregation if hasattr(model, "aggregation") else ("mean",)) == ("mean",)
+    assert tuple(model.aggregation) == ("mean",), \
+        "view sharding requires mean aggregation (the reference default)"
     n_shards = mesh.shape["view"]
     B, N, H, W, _ = images.shape
     V = N - 1
@@ -105,20 +108,29 @@ def view_sharded_forward(model, params, images, poses, intrinsics, scale,
         f_ref1 = model.apply(params, ref_image, method=fnet_fn)  # (B, h, w, C)
 
         f_src = jnp.moveaxis(f_src, 0, 1).astype(jnp.float32) / 8.0
+        # zero padded views' FEATURES (the encoder of a zero image is not
+        # zero) so their volume contribution vanishes under the view sum
+        f_src = f_src * weight_l[None, :, None, None, None]
         f_ref = jnp.broadcast_to(
             (f_ref1.astype(jnp.float32) / 8.0)[:, None], f_src.shape)
         Pij_bl = jnp.moveaxis(Pij_l, 0, 1)  # (B, V_local, 4, 4)
         w_sum = jax.lax.psum(jnp.sum(weight_l), "view")
 
         disp = jnp.zeros((B, h, w, 1), jnp.float32)
+        impl = model.lookup_impl
         for stage in range(len(model.cascade)):
             n_hyp, incre, n_iters = stage_params(stage)
             origin = corr_ops.slab_origin(
                 disp[..., 0][:, None], n_hyp, incre, shift=(stage == 0))
-            vol = corr_ops.build_corr_volume_from(
+            # local partial SUM of per-view volumes (padded views contribute
+            # exactly zero: their features are zero), reduced ONCE per stage
+            # into the global view-mean volume — the per-iteration psum of
+            # lookup features collapses to this single collective because the
+            # lookup is linear and its index is view-independent.
+            vol_local = corr_ops.build_corr_volume_from(
                 f_ref, f_src, Pij_bl, origin, n_hyp, incre,
-                hyp_chunk=model.hyp_chunk)
-            impl = model.lookup_impl
+                hyp_chunk=model.hyp_chunk, mean_over_views=True) * V_local
+            vol = jax.lax.psum(vol_local, "view") / w_sum
             levels = (corr_ops.build_pyramid(vol, num_levels)
                       if impl != "pallas" else [vol])
             pyr = corr_ops.CorrPyramid(
@@ -127,14 +139,10 @@ def view_sharded_forward(model, params, images, poses, intrinsics, scale,
 
             def body(carry, _):
                 net, disp = carry
-                zinv = jnp.broadcast_to(disp[..., 0][:, None], (B, V_local, h, w))
-                corr_local = corr_ops.lookup(pyr, zinv, radius, impl=impl)
-                # masked mean over ALL views via psum (core/update.py:103)
-                local = jnp.einsum(
-                    "bvhwc,v->bhwc", corr_local, weight_l)
-                corr_mean = jax.lax.psum(local, "view") / w_sum
+                zinv = jnp.broadcast_to(disp[..., 0][:, None], (B, 1, h, w))
+                corr_mean = corr_ops.lookup(pyr, zinv, radius, impl=impl)
                 net2, delta = model.apply(
-                    params, net, inp, disp, corr_mean[:, None], stage,
+                    params, net, inp, disp, corr_mean, stage,
                     method=update_fn)
                 return (net2, disp + delta), ()
 

@@ -47,7 +47,7 @@ def test_lookup_dispatches_banded(rng):
     corr = jnp.asarray(rng.randn(B, V, H, W, D).astype(np.float32))
     origin = jnp.asarray(rng.rand(B, 1, H, W).astype(np.float32) * 0.01)
     pyr = CorrPyramid(levels=build_pyramid(corr, 2), origin=origin,
-                      incre=0.0025 / 320, n_hyp=D)
+                      incre=0.0025 / 320, n_hyp=D, num_levels=2)
     zinv = origin + jnp.asarray(
         rng.randn(B, 1, H, W).astype(np.float32) * 0.002)
     zinv = jnp.broadcast_to(zinv, (B, V, H, W))
