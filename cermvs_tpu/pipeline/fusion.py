@@ -84,25 +84,68 @@ def _consistency_kernel(ref_depth, ref_K, ref_E, src_depth, src_K, src_E,
     return masks, depth_rp
 
 
+def _one_ref_view(ref_depth, ref_K, ref_E, src_depths, src_Ks, src_Es,
+                  thre1, thre2, n_src: int):
+    import jax
+
+    masks, depth_rp = jax.vmap(
+        _consistency_kernel, in_axes=(None, None, None, 0, 0, 0, None, None)
+    )(ref_depth, ref_K, ref_E, src_depths, src_Ks, src_Es, thre1, thre2)
+    # (S, 9, H, W) -> per-level vote counts; level-10 = index -1
+    vote = masks.astype("int32").sum(axis=0)  # (9, H, W)
+    geo_sum10 = vote[-1]
+    n = 1 + n_src
+    geo_mask = geo_sum10 >= n
+    levels = jax.numpy.arange(2, 11)[:, None, None]
+    geo_mask = geo_mask | (vote >= levels).any(axis=0)
+    fused = (depth_rp.sum(axis=0) + ref_depth) / (geo_sum10 + 1)
+    return geo_mask, fused, geo_mask.mean()
+
+
 @functools.lru_cache(maxsize=8)
 def _batched_kernel(n_src: int, H: int, W: int):
     import jax
 
-    def run(ref_depth, ref_K, ref_E, src_depths, src_Ks, src_Es, thre1, thre2):
-        masks, depth_rp = jax.vmap(
-            _consistency_kernel, in_axes=(None, None, None, 0, 0, 0, None, None)
-        )(ref_depth, ref_K, ref_E, src_depths, src_Ks, src_Es, thre1, thre2)
-        # (S, 9, H, W) -> per-level vote counts; level-10 = index -1
-        vote = masks.astype("int32").sum(axis=0)  # (9, H, W)
-        geo_sum10 = vote[-1]
-        n = 1 + n_src
-        geo_mask = geo_sum10 >= n
-        levels = jax.numpy.arange(2, 11)[:, None, None]
-        geo_mask = geo_mask | (vote >= levels).any(axis=0)
-        fused = (depth_rp.sum(axis=0) + ref_depth) / (geo_sum10 + 1)
-        return geo_mask, fused, geo_mask.mean()
+    return jax.jit(functools.partial(_one_ref_view, n_src=n_src))
 
-    return jax.jit(run)
+
+@functools.lru_cache(maxsize=8)
+def _refview_batched_kernel(n_src: int, H: int, W: int, mesh_key=None):
+    """Kernel over a BATCH of reference views (P4: ref views are the natural
+    parallel axis).  Takes the full per-scene stacks plus index arrays so the
+    gathers happen on device; with a mesh the ref-view batch is sharded over
+    the data axis while the (small) scene stacks are replicated."""
+    import jax
+    import jax.numpy as jnp
+
+    def batched(depths, Ks, Es, ref_idx, src_idx, thre1, thre2):
+        fn = jax.vmap(functools.partial(_one_ref_view, n_src=n_src),
+                      in_axes=(0, 0, 0, 0, 0, 0, None, None))
+        return fn(depths[ref_idx], Ks[ref_idx], Es[ref_idx],
+                  depths[src_idx], Ks[src_idx], Es[src_idx], thre1, thre2)
+
+    if mesh_key is None:
+        return jax.jit(batched)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = _MESHES[mesh_key]
+    data = NamedSharding(mesh, P(("data", "view")))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        batched,
+        in_shardings=(repl, repl, repl, data, data, repl, repl),
+        out_shardings=(data, data, data),
+    )
+
+
+_MESHES = {}
+
+
+def register_fusion_mesh(mesh) -> str:
+    """Register a mesh for ref-view-sharded fusion; returns its key."""
+    key = f"mesh{id(mesh)}"
+    _MESHES[key] = mesh
+    return key
 
 
 def align_image_to_depth(ref_img, depth, rescale, intrinsics, extrinsics):
@@ -143,7 +186,13 @@ def fusion(
     glb: float = 0.25,
     rescale: float = 1,
     tot_iter: int = 10,
+    mesh=None,
+    view_batch: int = 0,
 ):
+    """Adaptive-threshold fusion.  ``view_batch`` > 0 processes that many
+    reference views per device call (vectorized); with a ``mesh`` the batch
+    is additionally sharded over the data axis (distributed fusion, P4).
+    ``view_batch=0`` uses the one-view-at-a-time path (lowest memory)."""
     import jax.numpy as jnp
 
     output_folder = Path(output_folder)
@@ -192,42 +241,71 @@ def fusion(
     thre_left, thre_right = -2.0, 2.0
     vertexs, vertex_colors = [], []
 
+    # group ref views by source count so each group runs one compiled kernel
+    groups = {}
+    for refid, srcids in pair_data:
+        ref = refid_to_index[refid]
+        srcs = [refid_to_index[x] for x in srcids]
+        assert srcs, "reference view needs at least one source"
+        groups.setdefault(len(srcs), []).append((ref, srcs))
+
+    mesh_key = register_fusion_mesh(mesh) if mesh is not None else None
+    shard_n = int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
+
+    def emit_points(ref, geo_mask, fused_depth):
+        os.makedirs(output_folder / "mask", exist_ok=True)
+        cv2.imwrite(str(output_folder / "mask" / f"{ref}{suffix}.png"),
+                    geo_mask.astype(np.uint8) * 255)
+        print(f"ref-view {ref}, mask: {geo_mask.mean():.4f}")
+        ys, xs = np.where(geo_mask)
+        d = fused_depth[ys, xs]
+        color = all_images[ref][ys, xs]
+        xyz_ref = np.linalg.inv(all_intrinsics[ref]) @ (
+            np.vstack([xs, ys, np.ones_like(xs)]) * d)
+        xyz_world = (np.linalg.inv(all_extrinsics[ref]) @ np.vstack(
+            [xyz_ref, np.ones_like(xs)]))[:3]
+        vertexs.append(xyz_world.T.astype(np.float32))
+        vertex_colors.append((color * 255).astype(np.uint8))
+
     for it in range(tot_iter):
         thre = (thre_left + thre_right) / 2
-        thre1 = 10.0 ** thre * 4.0
-        thre2 = 10.0 ** thre * 1300.0
+        thre1 = jnp.float32(10.0 ** thre * 4.0)
+        thre2 = jnp.float32(10.0 ** thre * 1300.0)
         mask_ratios = []
+        last = it == tot_iter - 1
 
-        for refid, srcids in pair_data:
-            ref = refid_to_index[refid]
-            srcs = [refid_to_index[x] for x in srcids]
-            assert srcs, "reference view needs at least one source"
-            kernel = _batched_kernel(len(srcs), H, W)
-            geo_mask, fused_depth, ratio = kernel(
-                depths[ref], Ks[ref], Es[ref],
-                depths[np.asarray(srcs)], Ks[np.asarray(srcs)],
-                Es[np.asarray(srcs)],
-                jnp.float32(thre1), jnp.float32(thre2))
-            mask_ratios.append(float(ratio))
+        for n_src, items in groups.items():
+            if view_batch <= 0:
+                kernel = _batched_kernel(n_src, H, W)
+                for ref, srcs in items:
+                    geo_mask, fused_depth, ratio = kernel(
+                        depths[ref], Ks[ref], Es[ref],
+                        depths[np.asarray(srcs)], Ks[np.asarray(srcs)],
+                        Es[np.asarray(srcs)], thre1, thre2)
+                    mask_ratios.append(float(ratio))
+                    if last:
+                        emit_points(ref, np.asarray(geo_mask),
+                                    np.asarray(fused_depth))
+                continue
 
-            if it == tot_iter - 1:
-                geo_mask = np.asarray(geo_mask)
-                fused_depth = np.asarray(fused_depth)
-                os.makedirs(output_folder / "mask", exist_ok=True)
-                cv2.imwrite(
-                    str(output_folder / "mask" / f"{ref}{suffix}.png"),
-                    geo_mask.astype(np.uint8) * 255)
-                print(f"ref-view {ref}, mask: {geo_mask.mean():.4f}")
-
-                ys, xs = np.where(geo_mask)
-                d = fused_depth[ys, xs]
-                color = all_images[ref][ys, xs]
-                xyz_ref = np.linalg.inv(all_intrinsics[ref]) @ (
-                    np.vstack([xs, ys, np.ones_like(xs)]) * d)
-                xyz_world = (np.linalg.inv(all_extrinsics[ref]) @ np.vstack(
-                    [xyz_ref, np.ones_like(xs)]))[:3]
-                vertexs.append(xyz_world.T.astype(np.float32))
-                vertex_colors.append((color * 255).astype(np.uint8))
+            kernel = _refview_batched_kernel(n_src, H, W, mesh_key)
+            bsz = max(view_batch, shard_n)
+            bsz = (bsz // shard_n) * shard_n  # divisible by shard count
+            for s in range(0, len(items), bsz):
+                chunk = items[s : s + bsz]
+                # pad the batch by repeating the last view (extra results
+                # are discarded) so the sharded shape stays static
+                padded = chunk + [chunk[-1]] * (bsz - len(chunk))
+                ref_idx = jnp.asarray([r for r, _ in padded], jnp.int32)
+                src_idx = jnp.asarray([ss for _, ss in padded], jnp.int32)
+                gm, fd, ratios = kernel(depths, Ks, Es, ref_idx, src_idx,
+                                        thre1, thre2)
+                mask_ratios.extend(float(r) for r in np.asarray(ratios)[: len(chunk)])
+                if last:
+                    gm = np.asarray(gm)
+                    fd = np.asarray(fd)
+                    for k, (ref, _) in enumerate(chunk):
+                        emit_points(ref, gm[k], fd[k])
 
         print(f"iter {it}: thre={10 ** thre:.5f} mean_mask={np.mean(mask_ratios):.4f}")
         if np.mean(mask_ratios) >= glb:
