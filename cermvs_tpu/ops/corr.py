@@ -102,8 +102,11 @@ def _gather_corr_chunk(f_ref, f_quads, coords, H, W):
     in_y0 = ((iy >= 0) & (iy <= H - 1)).astype(f_ref.dtype)
     in_y1 = ((iy + 1 >= 0) & (iy + 1 <= H - 1)).astype(f_ref.dtype)
 
+    # mode="clip": indices are pre-clipped; the default 'fill' mode would
+    # materialize an extra full-size select buffer
     g = jnp.take_along_axis(
-        f_quads, idx.reshape(B, V, K * H * W)[..., None], axis=2)
+        f_quads, idx.reshape(B, V, K * H * W)[..., None], axis=2,
+        mode="clip")
     g = g.reshape(B, V, K, H, W, 4 * C)
     dot = lambda q: jnp.einsum(
         "bvkhwc,bvhwc->bvkhw", g[..., q * C : (q + 1) * C], f_ref)
@@ -153,7 +156,6 @@ def build_corr_volume_from(
     per-iteration lookups.
     """
     B, V, H, W, C = f_ref.shape
-    f_quads = _make_corner_quads(f_src)
 
     n_chunks = max(1, math.ceil(n_hyp / hyp_chunk))
     padded = n_chunks * hyp_chunk
@@ -162,23 +164,49 @@ def build_corr_volume_from(
 
     from cermvs_tpu.ops.geometry import apply_projection
 
-    def one_chunk(offs):
-        # (B, 1, K, H, W) hypothesis slab for this chunk
-        disps = origin[:, :, None, :, :] + offs[None, None, :, None, None]
-        coords = apply_projection(Pij, disps)
-        coords = jax.lax.stop_gradient(coords)
-        corr = _gather_corr_chunk(f_ref, f_quads, coords, H, W)
-        if mean_over_views:
-            corr = corr.mean(axis=1, keepdims=True)
-        return corr
+    def view_volume(fr, fquads, pij):
+        """(B, 1, ...) single-view volume; transients bounded by hyp_chunk."""
 
-    Vo = 1 if mean_over_views else V
-    if n_chunks == 1:
-        corr = one_chunk(offsets[0])[:, :, None]
+        def one_chunk(offs):
+            disps = origin[:, :, None, :, :] + offs[None, None, :, None, None]
+            coords = apply_projection(pij, disps)
+            coords = jax.lax.stop_gradient(coords)
+            return _gather_corr_chunk(fr, fquads, coords, H, W)
+
+        if n_chunks == 1:
+            corr = one_chunk(offsets[0])[:, :, None]
+        else:
+            corr = jax.lax.map(one_chunk, offsets)  # (n_chunks, B, 1, K, H, W)
+            corr = jnp.moveaxis(corr, 0, 2)
+        return corr.reshape(B, 1, padded, H, W)
+
+    # scan over views: the gathered (B, K, H, W, 4C) transients exist for one
+    # view at a time, and in mean mode the volume accumulates into the carry
+    # so per-view volumes are never stacked (the reference instead relied on
+    # imperative chunking + empty_cache, core/corr.py:123-139)
+    xs = (
+        jnp.moveaxis(f_ref, 1, 0)[:, :, None],   # (V, B, 1, H, W, C)
+        jnp.moveaxis(f_src, 1, 0)[:, :, None],
+        jnp.moveaxis(Pij, 1, 0)[:, :, None],     # (V, B, 1, 4, 4)
+    )
+
+    if mean_over_views:
+        def body(acc, x):
+            fr, fs, pij = x
+            return acc + view_volume(fr, _make_corner_quads(fs), pij), None
+
+        corr, _ = jax.lax.scan(
+            body, jnp.zeros((B, 1, padded, H, W), jnp.float32), xs)
+        corr = corr / V
     else:
-        corr = jax.lax.map(one_chunk, offsets)  # (n_chunks, B, Vo, K, H, W)
-        corr = jnp.moveaxis(corr, 0, 2)  # (B, Vo, n_chunks, K, H, W)
-    corr = corr.reshape(B, Vo, padded, H, W)[:, :, :n_hyp]
+        def body(carry, x):
+            fr, fs, pij = x
+            return carry, view_volume(fr, _make_corner_quads(fs), pij)[:, 0]
+
+        _, corr = jax.lax.scan(body, 0, xs)  # (V, B, padded, H, W)
+        corr = jnp.moveaxis(corr, 0, 1)
+
+    corr = corr[:, :, :n_hyp]
     return jnp.moveaxis(corr, 2, -1)  # (B, Vo, H, W, D)
 
 

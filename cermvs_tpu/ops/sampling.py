@@ -27,8 +27,10 @@ def interp1d(values: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     f = x - x0
     i0 = x0.astype(jnp.int32)
     i1 = i0 + 1
-    v0 = jnp.take_along_axis(values, jnp.clip(i0, 0, D - 1), axis=-1)
-    v1 = jnp.take_along_axis(values, jnp.clip(i1, 0, D - 1), axis=-1)
+    v0 = jnp.take_along_axis(values, jnp.clip(i0, 0, D - 1), axis=-1,
+                             mode="clip")
+    v1 = jnp.take_along_axis(values, jnp.clip(i1, 0, D - 1), axis=-1,
+                             mode="clip")
     valid0 = ((i0 >= 0) & (i0 <= D - 1)).astype(values.dtype)
     valid1 = ((i1 >= 0) & (i1 <= D - 1)).astype(values.dtype)
     f = f.astype(values.dtype)
