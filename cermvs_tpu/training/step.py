@@ -80,6 +80,16 @@ def make_train_step(model, tx, mesh: Optional[Mesh] = None, donate: bool = True)
 
 
 def shard_batch(batch: Dict[str, jnp.ndarray], mesh: Mesh):
-    """Place a host batch onto the mesh, sharded over the data axis."""
+    """Place a host batch onto the mesh, sharded over the data axis.
+
+    Multi-host: each process passes its LOCAL portion of the global batch
+    (host-local sharded loading, replacing the reference's DataLoader
+    workers); the global array is assembled across processes.
+    """
     sh = NamedSharding(mesh, P(("data", "view")))
+    if jax.process_count() > 1:
+        return {
+            k: jax.make_array_from_process_local_data(sh, v)
+            for k, v in batch.items()
+        }
     return {k: jax.device_put(v, sh) for k, v in batch.items()}
