@@ -26,14 +26,20 @@ from cermvs_tpu.io.pfm import write_pfm
 
 
 class InferenceRunner:
-    """Owns the model + params and a shape-bucketed jit cache."""
+    """Owns the model + params and a shape-bucketed jit cache.
 
-    def __init__(self, params, model=None, **model_kwargs):
+    With ``mesh`` the forward runs view-sharded over the mesh's 'view' axis
+    (``cermvs_tpu.parallel.infer``) — neighbor cost volumes partitioned
+    across chips.
+    """
+
+    def __init__(self, params, model=None, mesh=None, **model_kwargs):
         import jax
         from cermvs_tpu.models.raft import RAFT
 
         self.model = model or RAFT(test_mode=True, **model_kwargs)
         self.params = params
+        self.mesh = mesh
         self._cache: Dict[Tuple[int, int, int], object] = {}
         self._jax = jax
 
@@ -41,8 +47,15 @@ class InferenceRunner:
         import jax
 
         if shape not in self._cache:
-            self._cache[shape] = jax.jit(
-                lambda p, im, po, k, s: self.model.apply(p, im, po, k, s))
+            if self.mesh is not None:
+                from cermvs_tpu.parallel.infer import view_sharded_forward
+
+                self._cache[shape] = jax.jit(
+                    lambda p, im, po, k, s: view_sharded_forward(
+                        self.model, p, im, po, k, s, self.mesh))
+            else:
+                self._cache[shape] = jax.jit(
+                    lambda p, im, po, k, s: self.model.apply(p, im, po, k, s))
         return self._cache[shape]
 
     def __call__(self, images, poses, intrinsics, scale) -> np.ndarray:
@@ -70,6 +83,7 @@ def inference(
     write_min_depth: Optional[str] = None,
     params=None,
     model_kwargs: Optional[dict] = None,
+    mesh=None,
 ):
     """Run depth inference for every reference view of ``test_loader``.
 
@@ -82,7 +96,7 @@ def inference(
         if ckpt is None:
             raise ValueError("need ckpt path or params")
         params = load_params(ckpt)
-    runner = InferenceRunner(params, **(model_kwargs or {}))
+    runner = InferenceRunner(params, mesh=mesh, **(model_kwargs or {}))
 
     output_folder = Path(output_folder)
     (output_folder / "depths").mkdir(exist_ok=True, parents=True)
