@@ -147,6 +147,10 @@ class RAFT(nn.Module):
                 volume_fn=self.volume_fn,
                 materialize_pyramid=(self.lookup_impl != "pallas"),
                 mean_over_views=self.mean_volume,
+                # fmaps are computed in self.dtype then upcast, so gathering
+                # the corner buffer in that dtype is LOSSLESS (fp32
+                # accumulation) while halving the dominant HBM random reads
+                gather_dtype=self.dtype,
             )
             Vv = 1 if self.mean_volume else V
 

@@ -109,7 +109,8 @@ def _gather_corr_chunk(f_ref, f_quads, coords, H, W):
         mode="clip")
     g = g.reshape(B, V, K, H, W, 4 * C)
     dot = lambda q: jnp.einsum(
-        "bvkhwc,bvhwc->bvkhw", g[..., q * C : (q + 1) * C], f_ref)
+        "bvkhwc,bvhwc->bvkhw", g[..., q * C : (q + 1) * C],
+        f_ref.astype(g.dtype), preferred_element_type=jnp.float32)
     return (
         dot(0) * ((1 - fx) * (1 - fy) * in_x0 * in_y0)
         + dot(1) * (fx * (1 - fy) * in_x1 * in_y0)
@@ -139,6 +140,7 @@ def build_corr_volume_from(
     incre: float,
     hyp_chunk: int = 16,
     mean_over_views: bool = False,
+    gather_dtype=None,
 ) -> jnp.ndarray:
     """Core volume builder on pre-gathered per-pair features.
 
@@ -154,6 +156,13 @@ def build_corr_volume_from(
     aggregation (``core/update.py:101-103``) the per-view volumes never need
     to be materialized: V-fold less cost-volume memory and V-fold cheaper
     per-iteration lookups.
+
+    ``gather_dtype``: dtype of the gathered corner buffer (the dominant HBM
+    random-read traffic); products accumulate in fp32 regardless.  When the
+    feature maps are bf16-VALUED (the model computes them in bf16,
+    core/raft.py:55's autocast analog), ``bfloat16`` here is lossless AND
+    halves gather bytes.  Defaults to the feature dtype heuristic: bf16 iff
+    inputs are bf16-valued is unknowable cheaply, so callers opt in.
     """
     B, V, H, W, C = f_ref.shape
 
@@ -190,10 +199,13 @@ def build_corr_volume_from(
         jnp.moveaxis(Pij, 1, 0)[:, :, None],     # (V, B, 1, 4, 4)
     )
 
+    gd = gather_dtype or f_src.dtype
+
     if mean_over_views:
         def body(acc, x):
             fr, fs, pij = x
-            return acc + view_volume(fr, _make_corner_quads(fs), pij), None
+            quads = _make_corner_quads(fs.astype(gd))
+            return acc + view_volume(fr, quads, pij), None
 
         corr, _ = jax.lax.scan(
             body, jnp.zeros((B, 1, padded, H, W), jnp.float32), xs)
@@ -201,7 +213,8 @@ def build_corr_volume_from(
     else:
         def body(carry, x):
             fr, fs, pij = x
-            return carry, view_volume(fr, _make_corner_quads(fs), pij)[:, 0]
+            quads = _make_corner_quads(fs.astype(gd))
+            return carry, view_volume(fr, quads, pij)[:, 0]
 
         _, corr = jax.lax.scan(body, 0, xs)  # (V, B, padded, H, W)
         corr = jnp.moveaxis(corr, 0, 1)
@@ -221,6 +234,7 @@ def build_corr_volume(
     incre: float,
     hyp_chunk: int = 16,
     mean_over_views: bool = False,
+    gather_dtype=None,
 ) -> jnp.ndarray:
     """Build the (B, V, H, W, D) epipolar correlation volume
     (or (B, 1, H, W, D) view-averaged — see :func:`build_corr_volume_from`).
@@ -234,7 +248,8 @@ def build_corr_volume(
     f_src = jnp.take(fmaps, jj, axis=1)
     Pij = relative_projection(poses, intrinsics, ii, jj)
     return build_corr_volume_from(
-        f_ref, f_src, Pij, origin, n_hyp, incre, hyp_chunk, mean_over_views)
+        f_ref, f_src, Pij, origin, n_hyp, incre, hyp_chunk, mean_over_views,
+        gather_dtype)
 
 
 def build_pyramid(corr: jnp.ndarray, num_levels: int = 3) -> List[jnp.ndarray]:
@@ -320,7 +335,7 @@ def build_corr_pyramid(
     fmaps, poses, intrinsics, ii, jj, disp, n_hyp, incre,
     shift: bool, num_levels: int = 3, hyp_chunk: int = 16,
     volume_fn=None, materialize_pyramid: bool = True,
-    mean_over_views: bool = False,
+    mean_over_views: bool = False, gather_dtype=None,
 ) -> CorrPyramid:
     """CorrBlock constructor equivalent (``core/corr.py:46-99``).
 
@@ -333,7 +348,7 @@ def build_corr_pyramid(
     origin = slab_origin(jax.lax.stop_gradient(disp), n_hyp, incre, shift)
     fn = volume_fn or build_corr_volume
     corr = fn(fmaps, poses, intrinsics, ii, jj, origin, n_hyp, incre,
-              hyp_chunk, mean_over_views)
+              hyp_chunk, mean_over_views, gather_dtype)
     levels = build_pyramid(corr, num_levels) if materialize_pyramid else [corr]
     return CorrPyramid(
         levels=levels,

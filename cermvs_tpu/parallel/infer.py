@@ -129,7 +129,8 @@ def view_sharded_forward(model, params, images, poses, intrinsics, scale,
             # lookup is linear and its index is view-independent.
             vol_local = corr_ops.build_corr_volume_from(
                 f_ref, f_src, Pij_bl, origin, n_hyp, incre,
-                hyp_chunk=model.hyp_chunk, mean_over_views=True) * V_local
+                hyp_chunk=model.hyp_chunk, mean_over_views=True,
+                gather_dtype=model.dtype) * V_local
             vol = jax.lax.psum(vol_local, "view") / w_sum
             levels = (corr_ops.build_pyramid(vol, num_levels)
                       if impl != "pallas" else [vol])
