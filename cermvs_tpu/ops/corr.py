@@ -201,7 +201,12 @@ def build_corr_volume_from(
 
     gd = gather_dtype or f_src.dtype
 
+    # rematerialize each view's construction in the backward pass: without
+    # this, scan residuals stack the gathered corner buffers across
+    # views x chunks (tens of GB at training crops); recomputing the gathers
+    # costs one extra construction pass — the standard memory/flops trade
     if mean_over_views:
+        @jax.checkpoint
         def body(acc, x):
             fr, fs, pij = x
             quads = _make_corner_quads(fs.astype(gd))
@@ -211,6 +216,7 @@ def build_corr_volume_from(
             body, jnp.zeros((B, 1, padded, H, W), jnp.float32), xs)
         corr = corr / V
     else:
+        @jax.checkpoint
         def body(carry, x):
             fr, fs, pij = x
             quads = _make_corner_quads(fs.astype(gd))
