@@ -114,21 +114,27 @@ class RAFT(nn.Module):
         ii = jnp.zeros(V, jnp.int32)
         jj = jnp.arange(1, N, dtype=jnp.int32)
 
-        net_inp = self.cnet(images[:, 0])
+        def cnet_fn(mdl, img):
+            return mdl.cnet(img)
+
+        # remat the encoders: their per-layer activations at training crops
+        # pad 32 channels to 128 lanes (4x) and dominate HBM if saved
+        cnet_fn = nn.remat(cnet_fn) if self.remat else cnet_fn
+        net_inp = cnet_fn(self, images[:, 0])
         net = jnp.tanh(net_inp[..., : self.dim_net])
         inp = nn.relu(net_inp[..., self.dim_net :])
 
-        if self.test_mode:
-            # serialize the feature encoder over frames to bound peak memory
-            # (replaces the imperative loop at core/raft.py:66-69)
-            def encode(mdl, carry, img):
-                return carry, mdl.fnet(img)
-            fmaps = nn.scan(
-                encode, variable_broadcast="params",
-                split_rngs={"params": False}, in_axes=1, out_axes=1,
-            )(self, (), images)[1]
-        else:
-            fmaps = self.fnet(images)
+        # serialize the feature encoder over frames: bounds peak memory in
+        # BOTH modes (replaces the reference's imperative test-time loop at
+        # core/raft.py:66-69 and its reliance on 24GB GPUs for training)
+        def encode(mdl, carry, img):
+            return carry, mdl.fnet(img)
+
+        encode = nn.remat(encode) if self.remat else encode
+        fmaps = nn.scan(
+            encode, variable_broadcast="params",
+            split_rngs={"params": False}, in_axes=1, out_axes=1,
+        )(self, (), images)[1]
         fmaps = fmaps.astype(jnp.float32)
 
         disp = jnp.zeros((B, h, w, 1), jnp.float32)
