@@ -38,7 +38,18 @@ def get_test_data_loader(datasetname=None, num_frames=10, subset=None,
 
 @configurable("get_train_data_loader")
 def get_train_data_loader(datasetname=None, batch_size=2, num_frames=10,
-                          num_workers=4, seed=0, **args):
+                          num_workers=4, seed=0, process_shard=None, **args):
+    """``process_shard`` defaults to (jax.process_index(), process_count)
+    when running multi-host (host-local sharded loading)."""
+    if process_shard is None:
+        try:
+            import jax
+
+            if jax.process_count() > 1:
+                process_shard = (jax.process_index(), jax.process_count())
+        except Exception:
+            pass
     dataset = dataset_dict[datasetname](num_frames=num_frames, **args)
     return DataLoader(dataset, batch_size=batch_size, shuffle=True,
-                      drop_last=True, num_workers=num_workers, seed=seed)
+                      drop_last=True, num_workers=num_workers, seed=seed,
+                      process_shard=process_shard)

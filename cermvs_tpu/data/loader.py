@@ -55,7 +55,12 @@ class DataLoader:
         num_workers: int = 4,
         seed: int = 0,
         prefetch: int = 8,
+        process_shard: Optional[tuple] = None,
     ):
+        """``process_shard=(process_id, process_count)``: multi-host data
+        sharding — every process sees the same (seed-deterministic) global
+        batch order but loads only its ``batch_size/process_count`` slice of
+        each batch (host-local sharded loading)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -63,6 +68,13 @@ class DataLoader:
         self.num_workers = max(0, num_workers)
         self.seed = seed
         self.prefetch = prefetch
+        self.process_shard = process_shard
+        if process_shard is not None and batch_size is not None:
+            pid, pc = process_shard
+            if batch_size % pc != 0:
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by "
+                    f"process_count {pc}")
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -85,6 +97,9 @@ class DataLoader:
         ]
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
+        if self.process_shard is not None:
+            pid, pc = self.process_shard
+            batches = [b[pid::pc] for b in batches]
         return batches
 
     def __iter__(self) -> Iterator[Any]:

@@ -208,3 +208,21 @@ def test_dtu_test_dataset(dtu_fixture):
                   subset=[5, 10])
     assert len(ds2) == 2
     assert ds2[0][3][0] == "5"
+
+
+def test_loader_process_shard():
+    ds = _Slow(16)
+    batches_all = [
+        b["x"][:, 0].tolist()
+        for b in DataLoader(ds, batch_size=4, shuffle=True, drop_last=True,
+                            num_workers=0, seed=3)
+    ]
+    shards = []
+    for pid in range(2):
+        loader = DataLoader(ds, batch_size=4, shuffle=True, drop_last=True,
+                            num_workers=0, seed=3, process_shard=(pid, 2))
+        shards.append([b["x"][:, 0].tolist() for b in loader])
+    # each global batch is the interleave of the two process slices
+    for g, s0, s1 in zip(batches_all, shards[0], shards[1]):
+        assert sorted(s0 + s1) == sorted(g)
+        assert len(s0) == len(s1) == 2
