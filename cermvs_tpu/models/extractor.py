@@ -36,12 +36,28 @@ def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
-def _norm(norm_fn: str) -> Callable[[jnp.ndarray], jnp.ndarray]:
+def group_norm(x: jnp.ndarray, num_groups: int, eps: float = 1e-5):
+    """Affine-free group norm (the reference's GroupNorm option carries
+    affine params initialized to identity; fnet/cnet never use it in the
+    shipped configs, ``core/raft.py:29-30``)."""
+    B, H, W, C = x.shape
+    x32 = x.astype(jnp.float32).reshape(B, H, W, num_groups, C // num_groups)
+    mean = x32.mean(axis=(1, 2, 4), keepdims=True)
+    var = x32.var(axis=(1, 2, 4), keepdims=True)
+    out = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return out.reshape(B, H, W, C).astype(x.dtype)
+
+
+def _norm(norm_fn: str, planes: int = 32) -> Callable[[jnp.ndarray], jnp.ndarray]:
     if norm_fn == "instance":
         return instance_norm
+    if norm_fn == "group":
+        return lambda x: group_norm(x, max(1, planes // 8))
     if norm_fn == "none":
         return lambda x: x
-    raise ValueError(f"unsupported norm_fn {norm_fn!r} (reference uses instance/none)")
+    raise ValueError(
+        f"unsupported norm_fn {norm_fn!r} (instance/group/none; the shipped "
+        "configs use instance and none)")
 
 
 class ResidualBlock(nn.Module):
@@ -55,7 +71,7 @@ class ResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        norm = _norm(self.norm_fn)
+        norm = _norm(self.norm_fn, self.planes)
         y = nn.Conv(
             self.planes, (3, 3), strides=self.stride, padding=1,
             kernel_init=kaiming_out, dtype=self.dtype,

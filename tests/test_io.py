@@ -105,3 +105,27 @@ def test_config_unknown_param_raises():
     with pytest.raises(cfg.ConfigError):
         h()
     cfg.clear_config()
+
+
+def test_flow_io_roundtrip(tmp_path, rng):
+    from cermvs_tpu.io.flow import (
+        read_flo, write_flo, read_flow_kitti, write_flow_kitti)
+
+    flow = rng.randn(9, 13, 2).astype(np.float32)
+    write_flo(tmp_path / "f.flo", flow)
+    np.testing.assert_array_equal(read_flo(tmp_path / "f.flo"), flow)
+
+    flow_q = np.round(flow * 64) / 64  # KITTI quantization
+    write_flow_kitti(tmp_path / "f.png", flow_q)
+    back, valid = read_flow_kitti(tmp_path / "f.png")
+    np.testing.assert_allclose(back, flow_q, atol=1 / 64)
+    assert valid.all()
+
+
+def test_read_gen_dispatch(tmp_path, rng):
+    from cermvs_tpu.io.flow import read_gen
+    from cermvs_tpu.io.pfm import write_pfm
+
+    img = rng.rand(6, 8).astype(np.float32)
+    write_pfm(tmp_path / "d.pfm", img)
+    np.testing.assert_array_equal(read_gen(tmp_path / "d.pfm"), img)

@@ -173,3 +173,13 @@ def test_raft_gradients_flow(rng):
     assert norms["fnet"] > 0  # via cost volume + lookups
     assert norms["cnet"] > 0
     assert norms["update_block"] > 0
+
+
+def test_encoder_group_norm(rng):
+    enc = BasicEncoder(output_dim=32, norm_fn="group", type="HR",
+                       dtype=jnp.float32)
+    x = jnp.asarray(rng.randn(1, 32, 32, 3).astype(np.float32))
+    params = enc.init(jax.random.PRNGKey(0), x)
+    y = enc.apply(params, x)
+    assert y.shape == (1, 8, 8, 32)
+    assert np.isfinite(np.asarray(y)).all()
