@@ -58,8 +58,8 @@ class InferenceRunner:
                     lambda p, im, po, k, s: self.model.apply(p, im, po, k, s))
         return self._cache[shape]
 
-    def __call__(self, images, poses, intrinsics, scale) -> np.ndarray:
-        """images (N,H,W,3) float32 [0,255] -> depth map (h, w) float32.
+    def submit(self, images, poses, intrinsics, scale):
+        """Dispatch one view's forward (async under jax's dispatch model).
 
         Images cross the host->device link in bf16 — the encoder computes in
         bf16 regardless, and at 2304x3200x26 frames the fp32 transfer is a
@@ -72,9 +72,18 @@ class InferenceRunner:
         k = jnp.asarray(intrinsics)[None]
         s = jnp.asarray([scale], jnp.float32)
         fn = self._fn(tuple(im.shape[1:4]))
-        disp = np.asarray(fn(self.params, im, po, k, s))[0]
-        return np.where(disp == 0, 0, 1.0 / np.where(disp == 0, 1, disp)).astype(
-            np.float32)
+        return fn(self.params, im, po, k, s)
+
+    @staticmethod
+    def finalize(disp_device) -> np.ndarray:
+        """Fetch + convert a submitted view's disparity to a depth map."""
+        disp = np.asarray(disp_device)[0]
+        return np.where(disp == 0, 0,
+                        1.0 / np.where(disp == 0, 1, disp)).astype(np.float32)
+
+    def __call__(self, images, poses, intrinsics, scale) -> np.ndarray:
+        """images (N,H,W,3) float32 [0,255] -> depth map (h, w) float32."""
+        return self.finalize(self.submit(images, poses, intrinsics, scale))
 
 
 @configurable("inference")
@@ -108,6 +117,22 @@ def inference(
     num_frames = test_loader.dataset.num_frames
     factor = runner.model.stride_factor
 
+    def emit(name, depth, tic):
+        if do_report:
+            print(f"per view time: {time.perf_counter() - tic:.3f}s ({name})")
+        write_pfm(output_folder / "depths"
+                  / f"{name}_scale{rescale}_nf{num_frames}.pfm", depth)
+        if write_min_depth is not None:
+            md_dir = Path(write_min_depth)
+            md_dir.mkdir(exist_ok=True, parents=True)
+            valid = depth[depth > 0]
+            min_depth = float(np.quantile(valid, 0.1) / 2) if valid.size else 0.0
+            (md_dir / f"{name}.txt").write_text(f"{min_depth}\n")
+
+    # one-view software pipeline: dispatch view i (async under jax), then
+    # finalize view i-1 — host IO and the device->host fetch overlap the
+    # next view's compute (the threaded loader already prefetches reads)
+    pending = None
     for images, poses, intrinsics, image_names, scale in test_loader:
         images, intrinsics = scale_operation(images, intrinsics, rescale)
         if crop is not None:
@@ -116,17 +141,9 @@ def inference(
         images, intrinsics = pad_to_multiple(images, intrinsics, factor)
 
         tic = time.perf_counter()
-        depth = runner(images, poses, intrinsics, scale)
-        if do_report:
-            print(f"per view time: {time.perf_counter() - tic:.3f}s "
-                  f"({image_names[0]}, {images.shape})")
-
-        name = f"{image_names[0]}_scale{rescale}_nf{num_frames}.pfm"
-        write_pfm(output_folder / "depths" / name, depth)
-
-        if write_min_depth is not None:
-            md_dir = Path(write_min_depth)
-            md_dir.mkdir(exist_ok=True, parents=True)
-            valid = depth[depth > 0]
-            min_depth = float(np.quantile(valid, 0.1) / 2) if valid.size else 0.0
-            (md_dir / f"{image_names[0]}.txt").write_text(f"{min_depth}\n")
+        fut = runner.submit(images, poses, intrinsics, scale)
+        if pending is not None:
+            emit(pending[0], runner.finalize(pending[1]), pending[2])
+        pending = (image_names[0], fut, tic)
+    if pending is not None:
+        emit(pending[0], runner.finalize(pending[1]), pending[2])
