@@ -58,28 +58,38 @@ class InferenceRunner:
                     lambda p, im, po, k, s: self.model.apply(p, im, po, k, s))
         return self._cache[shape]
 
-    def submit(self, images, poses, intrinsics, scale):
-        """Dispatch one view's forward (async under jax's dispatch model).
+    def submit_batch(self, images, poses, intrinsics, scales):
+        """Dispatch a BATCH of reference views (async under jax's dispatch).
 
-        Images cross the host->device link in bf16 — the encoder computes in
-        bf16 regardless, and at 2304x3200x26 frames the fp32 transfer is a
-        measurable share of per-view latency.
+        images (B,N,H,W,3): B ref views with their neighbor stacks — batching
+        amortizes dispatch and encoder fixed costs; the cascaded model is
+        batch-first throughout.  Images cross the host->device link in bf16
+        (the encoder computes in bf16 regardless; at production sizes the
+        fp32 transfer is a measurable share of latency).
         """
         import jax.numpy as jnp
 
-        im = jnp.asarray(np.asarray(images, np.float32).astype(jnp.bfloat16))[None]
-        po = jnp.asarray(poses)[None]
-        k = jnp.asarray(intrinsics)[None]
-        s = jnp.asarray([scale], jnp.float32)
-        fn = self._fn(tuple(im.shape[1:4]))
+        im = jnp.asarray(np.asarray(images, np.float32).astype(jnp.bfloat16))
+        po = jnp.asarray(np.asarray(poses, np.float32))
+        k = jnp.asarray(np.asarray(intrinsics, np.float32))
+        s = jnp.asarray(np.asarray(scales, np.float32))
+        fn = self._fn(tuple(im.shape[:4]))
         return fn(self.params, im, po, k, s)
 
+    def submit(self, images, poses, intrinsics, scale):
+        return self.submit_batch(images[None], poses[None], intrinsics[None],
+                                 [scale])
+
     @staticmethod
-    def finalize(disp_device) -> np.ndarray:
-        """Fetch + convert a submitted view's disparity to a depth map."""
-        disp = np.asarray(disp_device)[0]
+    def finalize_batch(disp_device) -> np.ndarray:
+        """Fetch + convert submitted views' disparities to depth maps."""
+        disp = np.asarray(disp_device)
         return np.where(disp == 0, 0,
                         1.0 / np.where(disp == 0, 1, disp)).astype(np.float32)
+
+    @classmethod
+    def finalize(cls, disp_device) -> np.ndarray:
+        return cls.finalize_batch(disp_device)[0]
 
     def __call__(self, images, poses, intrinsics, scale) -> np.ndarray:
         """images (N,H,W,3) float32 [0,255] -> depth map (h, w) float32."""
@@ -98,6 +108,7 @@ def inference(
     params=None,
     model_kwargs: Optional[dict] = None,
     mesh=None,
+    view_batch: int = 1,
 ):
     """Run depth inference for every reference view of ``test_loader``.
 
@@ -129,21 +140,47 @@ def inference(
             min_depth = float(np.quantile(valid, 0.1) / 2) if valid.size else 0.0
             (md_dir / f"{name}.txt").write_text(f"{min_depth}\n")
 
-    # one-view software pipeline: dispatch view i (async under jax), then
-    # finalize view i-1 — host IO and the device->host fetch overlap the
-    # next view's compute (the threaded loader already prefetches reads)
+    # software pipeline: dispatch batch i (async under jax), then finalize
+    # batch i-1 — host IO and device->host fetches overlap the next batch's
+    # compute (the threaded loader already prefetches reads).  view_batch > 1
+    # runs several reference views per forward, amortizing dispatch and
+    # encoder fixed costs.
     pending = None
+    buf = []
+
+    def flush(buf):
+        names = [b[0] for b in buf]
+        fut = runner.submit_batch(
+            np.stack([b[1] for b in buf]), np.stack([b[2] for b in buf]),
+            np.stack([b[3] for b in buf]), [b[4] for b in buf])
+        return (names, fut, time.perf_counter())
+
+    def drain(pending):
+        names, fut, tic = pending
+        depths = runner.finalize_batch(fut)
+        for name, depth in zip(names, depths):
+            emit(name, depth, tic)
+
     for images, poses, intrinsics, image_names, scale in test_loader:
         images, intrinsics = scale_operation(images, intrinsics, rescale)
         if crop is not None:
             images, intrinsics = crop_operation(images, intrinsics, *crop)
         # static-shape requirement: trim to the encoder stride
         images, intrinsics = pad_to_multiple(images, intrinsics, factor)
-
-        tic = time.perf_counter()
-        fut = runner.submit(images, poses, intrinsics, scale)
+        if buf and buf[0][1].shape != images.shape:
+            if pending is not None:
+                drain(pending)
+            pending = flush(buf)
+            buf = []
+        buf.append((image_names[0], images, poses, intrinsics, scale))
+        if len(buf) >= max(1, view_batch):
+            if pending is not None:
+                drain(pending)
+            pending = flush(buf)
+            buf = []
+    if buf:
         if pending is not None:
-            emit(pending[0], runner.finalize(pending[1]), pending[2])
-        pending = (image_names[0], fut, tic)
+            drain(pending)
+        pending = flush(buf)
     if pending is not None:
-        emit(pending[0], runner.finalize(pending[1]), pending[2])
+        drain(pending)

@@ -109,3 +109,25 @@ def test_fusion_plane_scene(tmp_path):
     assert xyz.shape[0] > 0.5 * 4 * 24 * 32  # most pixels kept
     np.testing.assert_allclose(xyz[:, 2], 10.0, atol=1e-3)
     assert rgb.dtype == np.uint8
+
+
+def test_inference_view_batched(tmp_path):
+    """view_batch>1 must write identical PFMs as one-view-at-a-time."""
+    scene = PlaneScene(n=5, H=32, W=32, num_frames=2)
+    model = RAFT(test_mode=True, cascade=((4, 64, 1),), hyp_chunk=4,
+                 dtype=jnp.float32)
+    sample = scene[0]
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(sample[0])[None],
+                        jnp.asarray(sample[1])[None],
+                        jnp.asarray(sample[2])[None], jnp.ones(1))
+    kw = dict(rescale=1, params=params,
+              model_kwargs=dict(cascade=((4, 64, 1),), hyp_chunk=4,
+                                dtype=jnp.float32))
+    inference(DataLoader(scene, batch_size=None, num_workers=0),
+              output_folder=tmp_path / "a", **kw)
+    inference(DataLoader(scene, batch_size=None, num_workers=0),
+              output_folder=tmp_path / "b", view_batch=2, **kw)
+    for f in sorted((tmp_path / "a" / "depths").glob("*.pfm")):
+        a = read_pfm(f)
+        b = read_pfm(tmp_path / "b" / "depths" / f.name)
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
