@@ -110,6 +110,10 @@ def inference(
     mesh=None,
     view_batch: int = 1,
 ):
+    # NOTE view_batch > 1 amortizes fixed costs for SMALL scenes; at
+    # production sizes it increases HBM pressure and measured 2.7x SLOWER
+    # per view on a 16 GB chip (benchmarks/profile_viewbatch.py) — keep 1
+    # unless images are small.
     """Run depth inference for every reference view of ``test_loader``.
 
     ``ckpt`` is an orbax params directory (see training.checkpoint); already
