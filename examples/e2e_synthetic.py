@@ -10,6 +10,8 @@ behavior, the shape-bucketed jit cache, and the file contract at full scale.
 """
 
 import argparse
+import functools
+print = functools.partial(print, flush=True)  # timeouts must not eat buffered output
 import os
 import sys
 import time
