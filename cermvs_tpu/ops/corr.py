@@ -3,11 +3,11 @@
 TPU-native re-design of ``/root/reference/core/corr.py`` + ``alt_cuda_corr``:
 
 * The CUDA gather kernel (``alt_cuda_corr/correlation_kernel.cu:19-119``) is
-  replaced by a vectorized project->4-corner-gather->dot formulation that XLA
-  fuses; peak memory is bounded by scanning over hypothesis chunks
-  (``lax.map``) instead of the reference's imperative python chunking
-  (``core/corr.py:112-139``).  A fused Pallas kernel with fmap tiles resident
-  in VMEM lives in ``cermvs_tpu.ops.pallas`` and plugs in behind the same API.
+  replaced by a vectorized project->quad-corner-gather->dot formulation; peak
+  memory is bounded by scanning over views and hypothesis chunks instead of
+  the reference's imperative python chunking (``core/corr.py:112-139``).
+  The multi-level LOOKUP has a fused Pallas kernel
+  (``cermvs_tpu.ops.pallas.lookup``) selectable via ``lookup(impl=...)``.
 * Layout is hypothesis-minor: the volume is (B, V, H, W, D) with the D axis
   last (lane dimension), so the 3-level avg-pool pyramid
   (``core/corr.py:94-97``) and the 11-tap lookups (``core/corr.py:102-143``)
@@ -74,9 +74,10 @@ def _gather_corr_chunk(f_ref, f_quads, coords, H, W):
         holds all four bilinear corners ``[f[y,x], f[y,x+1], f[y+1,x],
         f[y+1,x+1]]`` (see :func:`_make_corner_quads`) — ONE gather per
         (pixel, hypothesis) fetches every corner as a contiguous 4C row.
-        Construction is gather-DESCRIPTOR-rate-bound on TPU (measured:
-        per-descriptor cost, insensitive to row bytes), so minimizing
-        descriptors per sample is the lever.
+        Construction cost on TPU is a mix of per-descriptor overhead and
+        random-read bandwidth (measured; see BENCH_NOTES.md), so one
+        descriptor per sample in the narrowest lossless dtype is the
+        optimum among the profiled formulations.
     coords: (B, V, K, H, W, 2) sample coords in the source view
     returns (B, V, K, H, W) correlation.
     """
