@@ -13,15 +13,22 @@ from cermvs_tpu.training.optim import fetch_optimizer
 from cermvs_tpu.training.step import init_state, make_train_step
 
 
-def make_plane_batch(rng, B=2, H=48, W=64, n_views=2):
-    """Textured plane at random depth; neighbor images are exact warps."""
+def make_plane_batch(rng, B=2, H=48, W=64, n_views=2, zmin=20.0, zmax=40.0,
+                     baseline=(1.0, 2.5), focal=60.0):
+    """Textured plane at random depth; neighbor images are exact warps.
+
+    NOTE the scene scale must match the cascade's hypothesis range: the
+    default cascade covers inverse depths up to ~0.0025 (the datasets scale
+    scenes so min depth ~= 400, SURVEY.md C11); the tiny test cascade
+    (16, 0.5, T) covers up to ~0.08 (depths >= ~12.5).
+    """
     N = n_views + 1
-    K = np.array([[60.0, 0, W / 2], [0, 60.0, H / 2], [0, 0, 1]], np.float32)
+    K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]], np.float32)
     images = np.zeros((B, N, H, W, 3), np.float32)
     depths = np.zeros((B, N, H, W), np.float32)
     poses = np.tile(np.eye(4, dtype=np.float32), (B, N, 1, 1))
     for b in range(B):
-        Z = rng.uniform(20, 40)
+        Z = rng.uniform(zmin, zmax)
         tex = rng.rand(H, W, 3).astype(np.float32) * 255
         for _ in range(2):
             tex = (tex + np.roll(tex, 1, 0) + np.roll(tex, -1, 0)
@@ -29,7 +36,7 @@ def make_plane_batch(rng, B=2, H=48, W=64, n_views=2):
         images[b, 0] = tex
         depths[b, :] = Z
         for v in range(1, N):
-            poses[b, v, 0, 3] = rng.uniform(1.0, 2.5) * (1 if v % 2 else -1)
+            poses[b, v, 0, 3] = rng.uniform(*baseline) * (1 if v % 2 else -1)
             back = np.asarray(pixel_coords_of_hypotheses(
                 jnp.asarray(poses[b : b + 1]), jnp.asarray(np.tile(K, (1, N, 1, 1))),
                 jnp.array([v]), jnp.array([0]),
