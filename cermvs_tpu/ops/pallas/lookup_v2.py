@@ -63,27 +63,37 @@ def _v2_kernel(corr_ref, x0_ref, out_ref, *, D, radius, num_levels):
     valid_q = (q >= 0).astype(c.dtype)
     G = jnp.take_along_axis(P, jnp.clip(q, 0, LANES - 1), axis=1) * valid_q
 
-    # assemble taps: value_k = (1-f)*pool(k) + f*pool(k+1),
-    # pool(k) = (G[slot(l, k+1)] - G[slot(l, k)]) * 2^-l, valid iff
-    # 0 <= c0+k < D_l
-    cols = []
+    # LANE-VECTORIZED tap assembly (per-column slicing would pay a full
+    # vector op per (TM, 1) column — 128x wasted lanes):
+    #   pools[slot(l, m)] = (G[slot+1] - G[slot]) * 2^-l * in_range
+    #   taps [slot(l, k)] = (1 - f_l) * pools[slot] + f_l * pools[slot+1]
+    # then one static-permutation gather compacts the 11 valid tap slots of
+    # each level into the first K_total lanes.
+    inv_sel = jnp.zeros(lane.shape, c.dtype)
+    f_sel = jnp.zeros_like(c[:, :1]) + jnp.zeros(lane.shape, c.dtype)
+    ok_sel = jnp.zeros_like(f_sel)
     for lvl in range(num_levels):
+        in_lvl = (lane >= lvl * n_m) & (lane < (lvl + 1) * n_m)
+        t = lane - lvl * n_m
+        i = c0[lvl] + t - radius  # pool index of this slot
         D_l = D >> lvl
-        base = lvl * n_m
-        inv = 1.0 / (1 << lvl)
+        ok = ((i >= 0) & (i < D_l)).astype(c.dtype)
+        inv_sel = jnp.where(in_lvl, 1.0 / (1 << lvl), inv_sel)
+        f_sel = jnp.where(in_lvl, f[lvl].astype(c.dtype), f_sel)
+        ok_sel = jnp.where(in_lvl, ok, ok_sel)
 
-        def pool(k):
-            t = k + radius  # slot index of boundary m=k
-            lo = G[:, base + t : base + t + 1]
-            hi = G[:, base + t + 1 : base + t + 2]
-            i = c0[lvl] + k
-            ok = ((i >= 0) & (i < D_l)).astype(c.dtype)
-            return (hi - lo) * inv * ok
+    G_next = pltpu.roll(G, LANES - 1, axis=1)
+    pools = (G_next - G) * inv_sel * ok_sel
+    taps = (1.0 - f_sel) * pools + f_sel * pltpu.roll(pools, LANES - 1, axis=1)
 
-        fl = f[lvl].astype(c.dtype)
-        for k in range(-radius, radius + 1):
-            cols.append((1.0 - fl) * pool(k) + fl * pool(k + 1))
-    out_ref[:] = jnp.concatenate(cols, axis=1)
+    # compact: output column j (level j//K, tap j%K) <- slot (j//K)*n_m + j%K
+    K = 2 * radius + 1
+    j_lane = lane  # (1, LANES)
+    slot_of = (j_lane // K) * n_m + (j_lane % K)
+    slot_of = jnp.where(j_lane < num_levels * K, slot_of, 0)
+    compact = jnp.take_along_axis(
+        taps, jnp.broadcast_to(slot_of, taps.shape), axis=1)
+    out_ref[:] = compact[:, : num_levels * K]
 
 
 def lookup_fused_v2(corr0: jnp.ndarray, x0: jnp.ndarray, radius: int = 5,
