@@ -1,0 +1,147 @@
+"""Rectified epipolar cost-volume construction (inference fast path).
+
+Replaces the exact gather-based builder (``ops/corr.py``,
+semantics from ``core/corr.py:46-99`` + ``alt_cuda_corr``) with the
+rectification formulation of ``ops/rectify.py``: after warping each
+(ref, src) pair into a common rotated frame, every hypothesis sample lies on
+the SAME rect row at position ``x_q - rate(q) * lambda``, so per (view, row)
+construction is one MXU matmul ``G = F_ref_row @ F_src_row^T`` plus a
+1-D resample of ``G`` rows — no data-dependent HBM gathers.
+
+Numerics: the three bilinear resamples (feature warps + volume back-warp)
+make this an APPROXIMATION of the exact volume (boundary handling and
+sub-pixel interpolation differ at the fraction-of-a-feature level); it is an
+opt-in inference path selected per scene by the host planner
+(``rectify.plan_rectification``), with the exact path as fallback and as the
+training path.  ``tests/test_rectified.py`` pins: exact equality under pure
+lateral motion (warps degenerate to integer shifts), the sample-position
+identity for general poses, and end-to-end model agreement tolerances.
+
+Implementations of the row-resample step:
+  * ``impl="oracle"`` — XLA: full ``G`` materialized per view, sampled with
+    ``interp1d`` (gathers; for tests and as a reference).
+  * ``impl="pallas"`` — fused kernel (``ops/pallas/epiband.py``): ``G`` never
+    leaves VMEM; banded VPU select.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from cermvs_tpu.ops import rectify
+from cermvs_tpu.ops.rectify import RectPlan
+from cermvs_tpu.ops.sampling import bilinear_sample, interp1d
+
+
+def _warp_features_and_params(
+    fmaps, poses, intrinsics, ii, jj, origin, n_hyp, incre, plan: RectPlan,
+    feature_dtype,
+):
+    """Shared front half: rect geometry, feature warps, position parameters.
+
+    Returns (fr_rect (V,h_r,w_r,C), fs_rect (V,h_r,ws_r,C), base (V,h_r,w_r),
+    sigma (V,h_r,w_r), geo).
+    """
+    B, N, h, w, C = fmaps.shape
+    assert B == 1, "rectified construction supports batch size 1"
+    geo = rectify.rect_geometry(poses, intrinsics, ii, jj, h, w, plan)
+
+    f = fmaps.astype(jnp.float32) / 8.0  # core/corr.py:30-31 scaling
+    f_ref = f[0, 0]
+    f_src = jnp.take(f[0], jj, axis=0)  # (V, h, w, C)
+
+    warp_ref = jax.vmap(lambda co: rectify.warp_image(f_ref, co))
+    fr_rect = warp_ref(geo["ref_ref_coords"]).astype(feature_dtype)
+    warp_src = jax.vmap(rectify.warp_image)
+    fs_rect = warp_src(f_src, geo["ref_src_coords"]).astype(feature_dtype)
+
+    org = origin[0, 0][..., None]  # (h, w, 1)
+    warp_org = jax.vmap(
+        lambda co: rectify.warp_image(org, co, mode="clamp")[..., 0])
+    origin_rect = warp_org(geo["ref_ref_coords"])  # (V, h_r, w_r)
+
+    base = geo["rate"] * (origin_rect - (n_hyp // 2) * incre)
+    sigma = geo["rate"] * incre
+    return fr_rect, fs_rect, base, sigma, geo
+
+
+def _resample_rows_oracle(fr_rect, fs_rect, base, sigma, n_hyp, s_max):
+    """Per-view rect volume via materialized G + gather interp (reference).
+
+    fr_rect: (h_r, w_r, C); fs_rect: (h_r, ws_r, C) -> (h_r, w_r, D).
+    """
+    G = jnp.einsum("hxc,hsc->hxs", fr_rect, fs_rect,
+                   preferred_element_type=jnp.float32)
+    w_r = fr_rect.shape[1]
+    x = jax.lax.broadcasted_iota(jnp.float32, (base.shape[0], w_r), 1)
+    k = jnp.arange(n_hyp, dtype=jnp.float32)
+    # src array column of hypothesis k at rect pixel (y, x)
+    idx = (x + float(s_max))[..., None] - (
+        base[..., None] + sigma[..., None] * k)
+    return interp1d(G, idx)
+
+
+def build_corr_volume_rectified(
+    fmaps: jnp.ndarray,
+    poses: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    ii: jnp.ndarray,
+    jj: jnp.ndarray,
+    origin: jnp.ndarray,
+    n_hyp: int,
+    incre: float,
+    plan: RectPlan,
+    mean_over_views: bool = False,
+    gather_dtype=None,
+    impl: str = "oracle",
+) -> jnp.ndarray:
+    """Drop-in construction (signature parity with ``corr.build_corr_volume``
+    modulo the static ``plan``/``impl``): returns (1, 1, h, w, D) when
+    ``mean_over_views`` else (1, V, h, w, D), fp32.
+    """
+    B, N, h, w, C = fmaps.shape
+    V = int(jj.shape[0])
+    feature_dtype = gather_dtype or fmaps.dtype
+    fr_rect, fs_rect, base, sigma, geo = _warp_features_and_params(
+        fmaps, poses, intrinsics, ii, jj, origin, n_hyp, incre, plan,
+        feature_dtype)
+
+    if impl == "pallas":
+        from cermvs_tpu.ops.pallas.epiband import epiband_resample
+
+        vol_rect = epiband_resample(fr_rect, fs_rect, base, sigma, n_hyp,
+                                    plan.s_max)
+    else:
+        vol_rect = jax.vmap(
+            lambda fr, fs, b, s: _resample_rows_oracle(
+                fr, fs, b, s, n_hyp, plan.s_max)
+        )(fr_rect, fs_rect, base, sigma)  # (V, h_r, w_r, D)
+
+    back = jax.vmap(bilinear_sample)(vol_rect, geo["fwd_coords"])
+    # (V, h, w, D)
+    if mean_over_views:
+        return back.mean(0)[None, None]
+    return back[None]
+
+
+def make_rectified_volume_fn(plan: RectPlan, impl: str = "pallas"):
+    """Closure matching ``corr.build_corr_volume``'s signature, for
+    ``RAFT(volume_fn=...)`` / ``build_corr_pyramid(volume_fn=...)``.
+
+    ``plan`` carries the static grid sizes (host-side, per scene); all pose-
+    dependent values stay traced, so one compiled graph serves every scene
+    bucketing to the same plan.
+    """
+
+    def volume_fn(fmaps, poses, intrinsics, ii, jj, origin, n_hyp, incre,
+                  hyp_chunk=16, mean_over_views=False, gather_dtype=None):
+        del hyp_chunk  # memory is governed by the kernel's own tiling
+        return build_corr_volume_rectified(
+            fmaps, poses, intrinsics, ii, jj, origin, n_hyp, incre, plan,
+            mean_over_views=mean_over_views, gather_dtype=gather_dtype,
+            impl=impl)
+
+    return volume_fn

@@ -1,0 +1,378 @@
+"""Pairwise stereo rectification for TPU-native cost-volume construction.
+
+Motivation (TPU-first redesign of ``alt_cuda_corr`` + ``core/corr.py:46-99``):
+the exact construction path samples ``V * D * H * W`` arbitrary fractional
+locations in the source feature maps — HBM random reads dominate (measured:
+~75 GB/s effective + per-descriptor overhead, BENCH_NOTES.md).  Rectifying
+each (reference, source) pair by pure camera ROTATIONS makes every epipolar
+sample land on the SAME image row at positions that are LINEAR in inverse
+depth:
+
+    rect-src x  =  rect-ref x  -  fx_r * B * g(q) * lambda
+    rect-src y  =  rect-ref y                                   (exactly)
+
+with ``B`` the baseline length and ``g(q)`` a smooth per-pixel factor (the
+third component of the rect-ray in the original reference frame).  Cost-volume
+construction then becomes, per (view, row): one MXU matmul
+``G = F_ref_row @ F_src_row^T`` followed by a lane-local banded resample of
+``G`` rows — no data-dependent HBM gathers at all.  See
+``ops/corr_rectified.py`` (XLA oracle + builder) and
+``ops/pallas/epiband.py`` (fused kernel).
+
+Geometry. For a pair (i=ref, j=src) with world-to-camera poses ``P_i, P_j``
+(reference convention, ``utils/projective_ops.py:17-23``): let
+``[R|t] = P_j P_i^{-1}`` (ref-cam -> src-cam) and ``C = -R^T t`` the src
+center in ref-cam coords.  The rectifying rotation (ref-cam -> rect frame)
+has rows ``r1 = C/||C||``, ``r2 = normalize(z x r1)``, ``r3 = r1 x r2``; the
+src side uses ``R_rect_j = R_rect_i R^T``.  Both rect cameras share
+intrinsics ``K_r`` (focals of the ref view, per-view principal offsets chosen
+so the warped ref image fits the rect grid).  For a rect-ref pixel ``q`` and
+reference-frame inverse depth ``lambda``:
+
+    Y3(q)    = rect depth of the point  = (1/lambda) * g(q)^{-1} ...
+    g(q)     = (R_rect_i^T K_r^{-1} q~)_3        (third row of R^T . ray)
+    disparity s(q, lambda) = fx_r * B * lambda * g(q)            (exact)
+
+Degenerate when the baseline is nearly parallel to the optical axis (forward
+motion): the host-side :func:`plan_rectification` detects this (and grid
+overflow) so callers fall back to the exact path.
+
+This module is geometry + warps only; it has no Pallas dependencies and is
+exercised on CPU by ``tests/test_rectified.py``.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from cermvs_tpu.ops.sampling import bilinear_sample
+
+
+# ---------------------------------------------------------------------------
+# Core rotation construction (dtype-generic: works for jnp and np arrays)
+# ---------------------------------------------------------------------------
+
+
+def _normalize(v, xp, eps=1e-12):
+    return v / (xp.linalg.norm(v, axis=-1, keepdims=True) + eps)
+
+
+def rect_rotations(R, t, xp=jnp):
+    """Rectifying rotations for relative pose(s) ``[R|t]`` (ref-cam->src-cam).
+
+    R: (..., 3, 3); t: (..., 3).  Returns (R_rect_i, R_rect_j, baseline) with
+    shapes (..., 3, 3), (..., 3, 3), (...,).  ``xp`` may be ``numpy`` for the
+    host planner or ``jax.numpy`` for in-graph use.
+    """
+    C = -xp.einsum("...ji,...j->...i", R, t)  # src center in ref-cam coords
+    baseline = xp.linalg.norm(C, axis=-1)
+    r1 = C / (baseline[..., None] + 1e-12)
+    z = xp.zeros_like(r1)
+    if xp is np:
+        z[..., 2] = 1.0
+    else:
+        z = z.at[..., 2].set(1.0)
+    r2 = _normalize(xp.cross(z, r1), xp)
+    r3 = xp.cross(r1, r2)
+    R_rect_i = xp.stack([r1, r2, r3], axis=-2)  # rows
+    R_rect_j = xp.einsum("...ik,...jk->...ij", R_rect_i, R)  # R_rect_i @ R^T
+    return R_rect_i, R_rect_j, baseline
+
+
+def rect_degeneracy(R, t, xp=np):
+    """sin(angle between baseline and optical axis), per pair.
+
+    Near 0 => forward motion => rectification unusable for that pair.
+    """
+    C = -xp.einsum("...ji,...j->...i", R, t)
+    r1 = C / (xp.linalg.norm(C, axis=-1, keepdims=True) + 1e-12)
+    sin = xp.sqrt(xp.clip(r1[..., 0] ** 2 + r1[..., 1] ** 2, 0.0, 1.0))
+    return sin
+
+
+def relative_pose(poses, ii, jj, xp=jnp):
+    """[R|t] of P_jj @ P_ii^{-1} for each pair.  poses: (B, N, 4, 4)."""
+    Pi = xp.take(poses, ii, axis=1)
+    Pj = xp.take(poses, jj, axis=1)
+    Ri = Pi[..., :3, :3]
+    ti = Pi[..., :3, 3]
+    Rj = Pj[..., :3, :3]
+    tj = Pj[..., :3, 3]
+    # P_j P_i^{-1} = [Rj Ri^T | tj - Rj Ri^T ti]
+    R = xp.einsum("...ik,...jk->...ij", Rj, Ri)
+    t = tj - xp.einsum("...ij,...j->...i", R, ti)
+    return R, t
+
+
+# ---------------------------------------------------------------------------
+# Homography helpers
+# ---------------------------------------------------------------------------
+
+
+def _K(fx, fy, cx, cy, xp=jnp):
+    """(...,) scalars -> (..., 3, 3) intrinsic matrices."""
+    fx, fy, cx, cy = xp.broadcast_arrays(fx, fy, cx, cy)
+    z = xp.zeros_like(fx)
+    o = xp.ones_like(fx)
+    rows = [
+        xp.stack([fx, z, cx], -1),
+        xp.stack([z, fy, cy], -1),
+        xp.stack([z, z, o], -1),
+    ]
+    return xp.stack(rows, -2)
+
+
+def _K_inv(fx, fy, cx, cy, xp=jnp):
+    return _K(1.0 / fx, 1.0 / fy, -cx / fx, -cy / fy, xp)
+
+
+def homography_grid(H, out_h: int, out_w: int, xp=jnp, clamp: float = 1e4):
+    """Apply 3x3 homography(ies) to the pixel grid of an (out_h, out_w) image.
+
+    H: (..., 3, 3) -> coords (..., out_h, out_w, 2), perspective-divided and
+    clamped (denominators through the rotation homographies stay positive on
+    the used region; the clamp only tames far-outside pixels).
+    """
+    y = xp.arange(out_h, dtype=xp.float32)
+    x = xp.arange(out_w, dtype=xp.float32)
+    if xp is np:
+        gy, gx = np.meshgrid(y, x, indexing="ij")
+    else:
+        gy, gx = jnp.meshgrid(y, x, indexing="ij")
+    ones = xp.ones_like(gx)
+    p = xp.stack([gx, gy, ones], -1)  # (out_h, out_w, 3)
+    q = xp.einsum("...ij,hwj->...hwi", H, p)
+    w = q[..., 2:3]
+    w = xp.where(xp.abs(w) < 1e-9, 1e-9 * xp.sign(w) + (w == 0) * 1e-9, w)
+    xy = q[..., :2] / w
+    return xp.clip(xy, -clamp, clamp)
+
+
+def warp_image(img: jnp.ndarray, coords: jnp.ndarray, mode: str = "zero"):
+    """Inverse-warp ``img`` (H, W, C) at ``coords`` (h, w, 2) pixel positions.
+
+    mode="zero": out-of-image samples contribute zero (feature warps — matches
+    the exact path's zero out-of-bounds corners, ``correlation_kernel.cu``
+    boundary masks). mode="clamp": edge-extend (per-pixel parameter maps like
+    the slab origin, where zero bleed-in would corrupt boundary values).
+    """
+    if mode == "clamp":
+        H, W = img.shape[:2]
+        x = jnp.clip(coords[..., 0], 0.0, W - 1.0)
+        y = jnp.clip(coords[..., 1], 0.0, H - 1.0)
+        coords = jnp.stack([x, y], -1)
+    return bilinear_sample(img, coords)
+
+
+# ---------------------------------------------------------------------------
+# Static plan (host side)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class RectPlan:
+    """Static (shape-determining) rectification parameters for one scene.
+
+    Produced host-side by :func:`plan_rectification` from concrete poses;
+    everything value-like stays dynamic in-graph — only shapes live here, so
+    one compiled graph serves all scenes that bucket to the same plan.
+    """
+
+    h_r: int          # rect grid rows (shared ref/src)
+    w_r: int          # rect-ref grid cols
+    s_max: int        # max disparity covered (px); src band extends left
+    s_neg: int        # negative-disparity margin (px, behind-slab hypotheses)
+    ok: bool = True   # False => caller must use the exact path
+    reason: str = ""
+
+    @property
+    def ws_r(self) -> int:
+        return self.w_r + self.s_max + self.s_neg
+
+
+def _round_up(v: float, m: int) -> int:
+    return int(math.ceil(v / m)) * m
+
+
+def plan_rectification(
+    poses: np.ndarray,
+    intrinsics: np.ndarray,
+    h: int,
+    w: int,
+    lambda_max: float = 0.00375,
+    s_neg: int = 16,
+    min_baseline_sin: float = 0.25,
+    pad: int = 8,
+    max_width_factor: float = 2.5,
+) -> RectPlan:
+    """Decide whether/with what grid sizes a scene can use the rectified path.
+
+    poses: (N, 4, 4) or (B, N, 4, 4) world-to-camera; intrinsics: matching
+    (..., N, 3, 3) at the FEATURE stride (i.e. already divided by the encoder
+    factor); (h, w): feature-grid size.  ``lambda_max``: largest inverse depth
+    any hypothesis slab may reach (default 1.5x the stage-0 slab top 0.0025,
+    ``core/raft.py:81``); with the reference's scale conventions (min depth
+    400, ``datasets/tnt.py:74-76``) estimates stay under it.
+    """
+    poses = np.asarray(poses, np.float64)
+    intrinsics = np.asarray(intrinsics, np.float64)
+    if poses.ndim == 4:
+        if poses.shape[0] != 1:
+            return RectPlan(0, 0, 0, 0, False, "rectified path requires B==1")
+        poses, intrinsics = poses[0], intrinsics[0]
+    N = poses.shape[0]
+    ii = np.zeros(N - 1, np.int64)
+    jj = np.arange(1, N)
+    R, t = relative_pose(poses[None], ii, jj, xp=np)
+    R, t = R[0], t[0]
+
+    sin = rect_degeneracy(R, t, xp=np)
+    if np.any(sin < min_baseline_sin):
+        return RectPlan(0, 0, 0, 0, False,
+                        f"near-forward baseline (min sin={sin.min():.3f})")
+
+    R_ri, R_rj, bl = rect_rotations(R, t, xp=np)
+    if np.any(bl < 1e-6):
+        return RectPlan(0, 0, 0, 0, False, "zero baseline pair")
+
+    Ki = intrinsics[0]
+    fx_r, fy_r = Ki[0, 0], Ki[1, 1]
+    Ki_inv = np.linalg.inv(Ki)
+
+    corners = np.array(
+        [[0, 0, 1], [w - 1, 0, 1], [0, h - 1, 1], [w - 1, h - 1, 1]],
+        np.float64)
+
+    w_need, h_need, s_need = 0.0, 0.0, 0.0
+    for v in range(N - 1):
+        A = _K(fx_r, fy_r, 0.0, 0.0, xp=np) @ R_ri[v] @ Ki_inv
+        q = corners @ A.T
+        if np.any(q[:, 2] <= 1e-6):
+            return RectPlan(0, 0, 0, 0, False,
+                            f"rect horizon crosses ref image (view {v})")
+        q = q[:, :2] / q[:, 2:3]
+        w_need = max(w_need, q[:, 0].max() - q[:, 0].min())
+        h_need = max(h_need, q[:, 1].max() - q[:, 1].min())
+        # g over the warped ref image is bounded by its corner values only
+        # approximately; sample a coarse interior grid for a sound bound
+        gy, gx = np.meshgrid(np.linspace(0, h - 1, 8),
+                             np.linspace(0, w - 1, 8), indexing="ij")
+        rays = np.stack([gx, gy, np.ones_like(gx)], -1) @ Ki_inv.T
+        g = rays @ R_ri[v][2]  # = (R_ri^T . e3) . ray = r3 . ray
+        if np.any(g <= 0.05):
+            return RectPlan(0, 0, 0, 0, False,
+                            f"rect ray grazes principal plane (view {v})")
+        s_need = max(s_need, fx_r * bl[v] * g.max() * lambda_max)
+
+    w_r = _round_up(w_need + 2 * pad, 128)
+    h_r = _round_up(h_need + 2 * pad, 8)
+    s_max = _round_up(s_need + pad, 64)
+    if w_r + s_max + s_neg > max_width_factor * (w + s_need + 2 * pad) + 256:
+        return RectPlan(0, 0, 0, 0, False,
+                        f"rect grid blow-up (w_r={w_r}, s_max={s_max})")
+    return RectPlan(h_r, w_r, s_max, int(s_neg), True, "")
+
+
+# ---------------------------------------------------------------------------
+# In-graph geometry (dynamic values, static shapes from a RectPlan)
+# ---------------------------------------------------------------------------
+
+
+def rect_geometry(
+    poses: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    ii: jnp.ndarray,
+    jj: jnp.ndarray,
+    h: int,
+    w: int,
+    plan: RectPlan,
+):
+    """All per-view rectification maps, computed inside jit.
+
+    poses: (1, N, 4, 4); intrinsics: (1, N, 3, 3) at feature stride.
+    Returns a dict of arrays (leading axis V):
+      ref_src_coords   (V, h_r, ws_r, 2)  original-src coords per rect-src cell
+      ref_ref_coords   (V, h_r, w_r, 2)   original-ref coords per rect-ref cell
+      fwd_coords       (V, h, w, 2)       rect-ref coords of each ref pixel
+      g                (V, h_r, w_r)      per-pixel disparity-rate factor
+      rate             (V, h_r, w_r)      fx_r * B * g  (disparity per unit
+                                          inverse depth)
+    Sample identity (tested): for ref pixel p at inverse depth lam the exact
+    projection into src equals mapping ``q = fwd(p)``, then
+    ``x' = q_x - rate(q) * lam`` on row ``q_y`` of the rect-src image (whose
+    array column is ``x' + s_max``).
+    """
+    assert poses.shape[0] == 1, "rectified path supports batch size 1"
+    R, t = relative_pose(poses, ii, jj)  # (1, V, 3, 3), (1, V, 3)
+    R_ri, R_rj, bl = rect_rotations(R[0], t[0])  # (V, 3, 3), (V,)
+    V = R_ri.shape[0]
+
+    Ki = intrinsics[0, 0].astype(jnp.float32)
+    Kj = jnp.take(intrinsics[0], jj, axis=0).astype(jnp.float32)
+    fx_r, fy_r = Ki[0, 0], Ki[1, 1]
+
+    # principal offsets: center each view's warped ref bbox in the rect grid
+    corners = jnp.array(
+        [[0.0, 0.0, 1.0], [w - 1.0, 0.0, 1.0],
+         [0.0, h - 1.0, 1.0], [w - 1.0, h - 1.0, 1.0]], jnp.float32)
+    Kr0 = _K(fx_r, fy_r, jnp.float32(0.0), jnp.float32(0.0))
+    Ki_inv = _K_inv(Ki[0, 0], Ki[1, 1], Ki[0, 2], Ki[1, 2])
+    A = jnp.einsum("ij,vjk,kl->vil", Kr0, R_ri, Ki_inv)  # (V, 3, 3)
+    qc = jnp.einsum("vij,cj->vci", A, corners)
+    qc = qc[..., :2] / qc[..., 2:3]  # (V, 4, 2)
+    ox = -qc[..., 0].min(1) + (plan.w_r - 1 -
+                               (qc[..., 0].max(1) - qc[..., 0].min(1))) / 2
+    oy = -qc[..., 1].min(1) + (plan.h_r - 1 -
+                               (qc[..., 1].max(1) - qc[..., 1].min(1))) / 2
+
+    Koff = _K(fx_r, fy_r, ox, oy)            # (V, 3, 3)
+    Koff_inv = _K_inv(fx_r, fy_r, ox, oy)
+    Ksrc = _K(fx_r, fy_r, ox + float(plan.s_max), oy)
+    Ksrc_inv = _K_inv(fx_r, fy_r, ox + float(plan.s_max), oy)
+    Kj_mat = Kj
+    Kj_inv = _K_inv(Kj[:, 0, 0], Kj[:, 1, 1], Kj[:, 0, 2], Kj[:, 1, 2])
+
+    # rect-src array cell -> original src pixel (inverse warp)
+    H_src_inv = jnp.einsum("vij,vkj,vkl->vil", Kj_mat, R_rj, Ksrc_inv)
+    ref_src_coords = homography_grid(H_src_inv, plan.h_r, plan.ws_r)
+
+    # rect-ref cell -> original ref pixel
+    H_ref_inv = jnp.einsum("ij,vkj,vkl->vil", _K(Ki[0, 0], Ki[1, 1],
+                                                 Ki[0, 2], Ki[1, 2]),
+                           R_ri, Koff_inv)
+    ref_ref_coords = homography_grid(H_ref_inv, plan.h_r, plan.w_r)
+
+    # ref pixel -> rect-ref coords (forward map, for the volume back-warp)
+    H_fwd = jnp.einsum("vij,vjk,kl->vil", Koff, R_ri, Ki_inv)
+    fwd_coords = homography_grid(H_fwd, h, w)
+
+    # g(q) = (R_ri^T . rect_ray)_3 — the THIRD COLUMN of R_ri dotted with the
+    # rect-frame ray K_off^{-1} q~ (equals r3 . ref_ray when expressed on the
+    # reference grid; the planner uses that dual form)
+    y = jnp.arange(plan.h_r, dtype=jnp.float32)
+    x = jnp.arange(plan.w_r, dtype=jnp.float32)
+    gy, gx = jnp.meshgrid(y, x, indexing="ij")
+    rays = jnp.stack([gx, gy, jnp.ones_like(gx)], -1)  # (h_r, w_r, 3)
+    rays = jnp.einsum("vij,hwj->vhwi", Koff_inv, rays)
+    g = jnp.einsum("vhwi,vi->vhw", rays, R_ri[:, :, 2])
+    rate = fx_r * bl[:, None, None] * g
+
+    return {
+        "ref_src_coords": ref_src_coords,
+        "ref_ref_coords": ref_ref_coords,
+        "fwd_coords": fwd_coords,
+        "g": g,
+        "rate": rate,
+        "baseline": bl,
+        "fx_r": fx_r,
+        "fy_r": fy_r,
+        "ox": ox,
+        "oy": oy,
+        "R_ri": R_ri,
+        "R_rj": R_rj,
+    }

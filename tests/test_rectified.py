@@ -1,0 +1,225 @@
+"""Rectified cost-volume construction: geometry identities and volume parity.
+
+Validates the rectification path (ops/rectify.py + ops/corr_rectified.py)
+against the exact builder (ops/corr.py, whose semantics are pinned to the
+reference's CUDA sampler by tests/test_corr.py):
+
+  * sample-position identity for GENERAL poses (pure math, no resampling);
+  * exact volume equality under pure lateral motion (warps degenerate to
+    integer shifts, so even the resamples are lossless);
+  * approximate volume parity for general poses on smooth features;
+  * host planner accept/reject behavior.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cermvs_tpu.ops import corr as corr_ops
+from cermvs_tpu.ops import rectify
+from cermvs_tpu.ops.corr_rectified import build_corr_volume_rectified
+from cermvs_tpu.ops.geometry import pixel_coords_of_hypotheses
+
+
+def lookat_pose(eye, target, up=(0, 1, 0)):
+    """World-to-camera 4x4 with +z looking from eye toward target."""
+    eye = np.asarray(eye, np.float64)
+    fwd = np.asarray(target, np.float64) - eye
+    fwd /= np.linalg.norm(fwd)
+    right = np.cross(fwd, np.asarray(up, np.float64))
+    right /= np.linalg.norm(right)
+    down = np.cross(fwd, right)
+    R = np.stack([right, down, fwd], 0)  # rows: camera axes in world
+    t = -R @ eye
+    P = np.eye(4)
+    P[:3, :3] = R
+    P[:3, 3] = t
+    return P
+
+
+def general_scene(h=8, w=24, n=3):
+    """Cameras on an arc looking at the origin (moderate rotations)."""
+    K = np.array([[20.0, 0, 12.0], [0, 20.0, 4.0], [0, 0, 1]], np.float64)
+    eyes = [(0.0, 0.0, -10.0), (2.0, 0.6, -9.5), (-1.8, -0.8, -9.8)][:n]
+    poses = np.stack([lookat_pose(e, (0.1, -0.1, 0.0)) for e in eyes])
+    intr = np.tile(K, (n, 1, 1))
+    return poses[None].astype(np.float32), intr[None].astype(np.float32), h, w
+
+
+def lateral_scene(h=8, w=24, n=3):
+    """Identity rotations, x-only baselines: rectification is exact."""
+    K = np.array([[20.0, 0, 12.0], [0, 20.0, 4.0], [0, 0, 1]], np.float64)
+    poses = np.stack([np.eye(4) for _ in range(n)])
+    for i, bx in enumerate([0.0, 1.0, -1.5]):
+        poses[i, 0, 3] = -bx  # w2c translation t = -C for identity rotation
+    intr = np.tile(K, (n, 1, 1))
+    return poses[None].astype(np.float32), intr[None].astype(np.float32), h, w
+
+
+def _pairs(n):
+    return jnp.zeros(n - 1, jnp.int32), jnp.arange(1, n, dtype=jnp.int32)
+
+
+def test_sample_position_identity():
+    """rect-frame sample position == exact projective sample position."""
+    poses, intr, h, w = general_scene()
+    N = poses.shape[1]
+    ii, jj = _pairs(N)
+    plan = rectify.plan_rectification(poses, intr, h, w, lambda_max=0.14)
+    assert plan.ok, plan.reason
+    geo = rectify.rect_geometry(jnp.asarray(poses), jnp.asarray(intr),
+                                ii, jj, h, w, plan)
+
+    lams = np.array([0.06, 0.09, 0.125], np.float32)
+    disps = jnp.broadcast_to(
+        jnp.asarray(lams)[None, None, :, None, None], (1, 1, 3, h, w))
+    exact = pixel_coords_of_hypotheses(
+        jnp.asarray(poses), jnp.asarray(intr), ii, jj, disps)  # (1,V,3,h,w,2)
+
+    fwd = np.asarray(geo["fwd_coords"])   # (V, h, w, 2)
+    R_ri = np.asarray(geo["R_ri"])
+    R_rj = np.asarray(geo["R_rj"])
+    bl = np.asarray(geo["baseline"])
+    ox = np.asarray(geo["ox"])
+    oy = np.asarray(geo["oy"])
+    fx_r = float(geo["fx_r"])
+    fy_r = float(geo["fy_r"])
+    Kj = intr[0, 1:]  # (V, 3, 3)
+
+    for v in range(N - 1):
+        q = fwd[v]  # (h, w, 2) rect coords of each ref pixel
+        ray = np.stack([(q[..., 0] - ox[v]) / fx_r,
+                        (q[..., 1] - oy[v]) / fy_r,
+                        np.ones_like(q[..., 0])], -1)
+        g = ray @ R_ri[v][:, 2]  # (R_ri^T ray)_3: third COLUMN
+        for li, lam in enumerate(lams):
+            xp_rect = q[..., 0] - fx_r * bl[v] * g * lam  # rect-src x coord
+            # map (xp_rect, q_y) back to the original src image
+            hom = np.stack([(xp_rect - ox[v]) / fx_r,
+                            (q[..., 1] - oy[v]) / fy_r,
+                            np.ones_like(xp_rect)], -1)
+            psrc = hom @ R_rj[v] @ Kj[v].T  # rows: K_j (R_rj^T hom)
+            psrc = psrc[..., :2] / psrc[..., 2:3]
+            np.testing.assert_allclose(
+                psrc, np.asarray(exact[0, v, li]), atol=2e-3)
+
+
+def test_lateral_motion_volume_exact():
+    """Pure lateral baselines: rectified volume == exact volume (lossless)."""
+    poses, intr, h, w = lateral_scene()
+    N = poses.shape[1]
+    ii, jj = _pairs(N)
+    rng = np.random.RandomState(0)
+    C, D, incre = 16, 8, 0.01
+    fmaps = jnp.asarray(rng.randn(1, N, h, w, C).astype(np.float32))
+    origin = jnp.full((1, 1, h, w), 0.095, jnp.float32)
+
+    plan = rectify.plan_rectification(poses, intr, h, w, lambda_max=0.16)
+    assert plan.ok, plan.reason
+
+    vol_exact = corr_ops.build_corr_volume(
+        fmaps, jnp.asarray(poses), jnp.asarray(intr), ii, jj, origin,
+        D, incre, mean_over_views=True)
+    vol_rect = build_corr_volume_rectified(
+        fmaps, jnp.asarray(poses), jnp.asarray(intr), ii, jj, origin,
+        D, incre, plan, mean_over_views=True)
+    assert vol_rect.shape == vol_exact.shape == (1, 1, h, w, D)
+    np.testing.assert_allclose(np.asarray(vol_rect), np.asarray(vol_exact),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_lateral_motion_per_view():
+    poses, intr, h, w = lateral_scene()
+    N = poses.shape[1]
+    ii, jj = _pairs(N)
+    rng = np.random.RandomState(1)
+    C, D, incre = 8, 8, 0.01
+    fmaps = jnp.asarray(rng.randn(1, N, h, w, C).astype(np.float32))
+    origin = jnp.full((1, 1, h, w), 0.095, jnp.float32)
+    plan = rectify.plan_rectification(poses, intr, h, w, lambda_max=0.16)
+    vol_exact = corr_ops.build_corr_volume(
+        fmaps, jnp.asarray(poses), jnp.asarray(intr), ii, jj, origin,
+        D, incre, mean_over_views=False)
+    vol_rect = build_corr_volume_rectified(
+        fmaps, jnp.asarray(poses), jnp.asarray(intr), ii, jj, origin,
+        D, incre, plan, mean_over_views=False)
+    assert vol_rect.shape == vol_exact.shape == (1, N - 1, h, w, D)
+    np.testing.assert_allclose(np.asarray(vol_rect), np.asarray(vol_exact),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_general_poses_smooth_features():
+    """General rotations: resampling is lossy but small on smooth features."""
+    poses, intr, h, w = general_scene(h=16, w=48)
+    N = poses.shape[1]
+    ii, jj = _pairs(N)
+    rng = np.random.RandomState(2)
+    C, D, incre = 8, 8, 0.01
+    origin_val = 0.095
+    origin = jnp.full((1, 1, h, w), origin_val, jnp.float32)
+    plan = rectify.plan_rectification(poses, intr, h, w, lambda_max=0.16)
+    assert plan.ok, plan.reason
+
+    # restrict the comparison to ref pixels whose samples all land well
+    # inside the source images: out-of-bounds handling differs by design
+    # (the exact path zeroes original-image corner taps, the rectified path
+    # zeroes in rect space) in a ~2px band that is negligible at real
+    # image sizes but dominates on this toy grid
+    lams = origin_val + (np.arange(D) - D // 2) * incre
+    disps = jnp.broadcast_to(
+        jnp.asarray(lams, dtype=jnp.float32)[None, None, :, None, None],
+        (1, 1, D, h, w))
+    co = np.asarray(pixel_coords_of_hypotheses(
+        jnp.asarray(poses), jnp.asarray(intr), ii, jj, disps))
+    m = 2.0
+    inside = ((co[..., 0] >= m) & (co[..., 0] <= w - 1 - m)
+              & (co[..., 1] >= m) & (co[..., 1] <= h - 1 - m))
+    inside = inside.all(axis=(1, 2))[0]  # (h, w)
+    assert inside.mean() > 0.25
+
+    def rel_err(coarse_h, coarse_w):
+        coarse = rng.randn(1, N, coarse_h, coarse_w, C).astype(np.float32)
+        fmaps = jax.image.resize(
+            jnp.asarray(coarse), (1, N, h, w, C), "linear")
+        vol_exact = np.asarray(corr_ops.build_corr_volume(
+            fmaps, jnp.asarray(poses), jnp.asarray(intr), ii, jj, origin,
+            D, incre, mean_over_views=True))[0, 0]
+        vol_rect = np.asarray(build_corr_volume_rectified(
+            fmaps, jnp.asarray(poses), jnp.asarray(intr), ii, jj, origin,
+            D, incre, plan, mean_over_views=True))[0, 0]
+        return (np.linalg.norm((vol_rect - vol_exact)[inside])
+                / np.linalg.norm(vol_exact[inside]))
+
+    # resampling error decays with feature smoothness (second-order interp
+    # error); very smooth features agree tightly
+    rough = rel_err(8, 16)
+    smooth = rel_err(2, 4)
+    assert smooth < 0.04, (smooth, rough)
+    assert smooth < 0.25 * rough, (smooth, rough)
+
+
+def test_planner_rejects_forward_motion():
+    K = np.array([[20.0, 0, 12.0], [0, 20.0, 4.0], [0, 0, 1]], np.float32)
+    poses = np.stack([np.eye(4, dtype=np.float32) for _ in range(2)])
+    poses[1, 2, 3] = -1.0  # src moved along +z (forward)
+    intr = np.tile(K, (2, 1, 1))
+    plan = rectify.plan_rectification(poses[None], intr[None], 8, 24)
+    assert not plan.ok
+    assert "baseline" in plan.reason
+
+
+def test_planner_grid_shapes():
+    poses, intr, h, w = general_scene()
+    plan = rectify.plan_rectification(poses, intr, h, w, lambda_max=0.14)
+    assert plan.ok
+    assert plan.h_r % 8 == 0 and plan.w_r % 128 == 0
+    assert plan.ws_r == plan.w_r + plan.s_max + plan.s_neg
+    # warped ref pixels must land inside the rect grid
+    N = poses.shape[1]
+    ii, jj = _pairs(N)
+    geo = rectify.rect_geometry(jnp.asarray(poses), jnp.asarray(intr),
+                                ii, jj, h, w, plan)
+    fwd = np.asarray(geo["fwd_coords"])
+    assert fwd[..., 0].min() > 0 and fwd[..., 0].max() < plan.w_r - 1
+    assert fwd[..., 1].min() > 0 and fwd[..., 1].max() < plan.h_r - 1
