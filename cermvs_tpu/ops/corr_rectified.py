@@ -112,8 +112,10 @@ def build_corr_volume_rectified(
     if impl == "pallas":
         from cermvs_tpu.ops.pallas.epiband import epiband_resample
 
-        vol_rect = epiband_resample(fr_rect, fs_rect, base, sigma, n_hyp,
-                                    plan.s_max)
+        sigma_hi = plan.rate_hi * incre if plan.rate_hi > 0 else None
+        vol_rect = epiband_resample(
+            fr_rect, fs_rect, base, sigma, n_hyp, plan.s_max,
+            sigma_lo=max(plan.rate_lo * incre, 0.0), sigma_hi=sigma_hi)
     else:
         vol_rect = jax.vmap(
             lambda fr, fs, b, s: _resample_rows_oracle(

@@ -1,0 +1,154 @@
+"""Fused rectified cost-volume kernel: row-correlation matmul + banded select.
+
+TPU-native replacement for the hot half of ``alt_cuda_corr``
+(``correlation_kernel.cu:19-119``): after rectification
+(``ops/rectify.py``) every hypothesis sample of rect-ref pixel ``(y, x)``
+lies ON ROW ``y`` of the rect-src image at column
+
+    pos(x, k) = x + s_max - base(x, y) - k * sigma(x, y)
+
+so per (view, row, x-chunk) the kernel computes
+
+    G = F_ref_chunk @ F_src_row^T          (MXU, bf16 -> fp32)
+    out[x, k] = linear-interp of G[x, .] at pos(x, k)   (VPU)
+
+with ``G`` never leaving VMEM.  The interpolation is gather-free:
+
+1. a per-row BARREL ALIGNMENT left-rotates each row of ``G`` by
+   ``c(x) = floor(p0(x)) - (M - 2)`` (log2(ws) conditional ``pltpu.roll``
+   stages), putting every row's active window at lanes ``[0, M)``;
+2. per hypothesis ``k`` a STATIC lane slice bounded by the scene-wide
+   disparity-rate interval (``RectPlan.rate_lo/rate_hi``) plus a hat-function
+   (compare/select/multiply) reduce computes the 2-tap lerp.  Positions
+   outside the physical band get zero via validity masks, matching
+   ``sampling.interp1d`` (and the reference's zero out-of-bounds corners).
+
+Forward-only: the rectified path is an inference fast path (training uses the
+exact differentiable builder, ops/corr.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+XC = 128  # x-chunk (sublane) tile; plans round w_r to a multiple of this
+
+
+def _epiband_kernel(fr_ref, fs_ref, base_ref, sigma_ref, out_ref, *,
+                    D, s_max, ws, M, slices):
+    """One (view, row, x-chunk) cell.
+
+    fr_ref: (1,1,XC,C); fs_ref: (1,1,ws,C); base/sigma: (1,1,XC,1);
+    out_ref: (1,1,XC,D).  ``slices``: per-k static (u0, u1) lane windows.
+    """
+    xchunk = pl.program_id(2)
+    fr = fr_ref[0, 0]            # (XC, C)
+    fs = fs_ref[0, 0]            # (ws, C)
+    G = jax.lax.dot_general(
+        fr, fs, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (XC, ws)
+
+    base = base_ref[0, 0]        # (XC, 1) f32
+    sigma = sigma_ref[0, 0]      # (XC, 1) f32
+    xg = (jax.lax.broadcasted_iota(jnp.int32, (XC, 1), 0).astype(jnp.float32)
+          + (xchunk * XC).astype(jnp.float32))
+    p0 = xg + float(s_max) - base          # position of hypothesis k=0
+    c = jnp.floor(p0).astype(jnp.int32) - (M - 2)
+    c = jnp.clip(c, -M, ws - 1)            # lower clamp only for pixels whose
+    rel0 = p0 - c.astype(jnp.float32)      # entire slab is out of band
+
+    # barrel alignment: aligned[x, m] = G[x, (c(x) + m) mod ws]
+    cpos = jnp.where(c < 0, c + ws, c)     # left-rotate amount in [0, ws)
+    nbits = max(1, math.ceil(math.log2(ws)))
+    for b in range(nbits):
+        amt = 1 << b
+        bit = (cpos & amt) > 0             # (XC, 1) bool
+        G = jnp.where(bit, pltpu.roll(G, ws - (amt % ws), axis=1), G)
+    aligned = G[:, :M]                     # (XC, M)
+
+    # validity of window column m: 0 <= c + m <= ws - 1 (excludes wrap-around
+    # and the out-of-band zero-padding semantics of interp1d)
+    miota = jax.lax.broadcasted_iota(jnp.int32, (1, M), 1)
+    s_abs = c + miota                      # (XC, M)
+    valid = ((s_abs >= 0) & (s_abs <= ws - 1)).astype(jnp.float32)
+    av = aligned * valid
+
+    for k in range(D):
+        u0, u1 = slices[k]
+        rel = rel0 - float(k) * sigma      # (XC, 1)
+        m = (jax.lax.broadcasted_iota(jnp.int32, (1, u1 - u0), 1)
+             .astype(jnp.float32) + float(u0))
+        wgt = jnp.maximum(1.0 - jnp.abs(m - rel), 0.0)
+        out_ref[0, 0, :, k] = jnp.sum(av[:, u0:u1] * wgt, axis=1)
+
+
+def _window_and_slices(D, sigma_lo, sigma_hi):
+    """Static window size M and per-k lane slices from scene rate bounds."""
+    M = int(math.ceil(max((D - 1) * sigma_hi, 0.0))) + 4
+    M = -(-M // 8) * 8  # mild alignment
+    slices = []
+    for k in range(D):
+        # rel_k = (M - 2) + frac - k*sigma, sigma in [sigma_lo, sigma_hi]
+        lo = M - 2 - k * sigma_hi
+        hi = M - 1 - k * sigma_lo
+        u0 = max(0, int(math.floor(lo)) - 1)
+        u1 = min(M, int(math.ceil(hi)) + 2)
+        slices.append((u0, max(u1, u0 + 1)))
+    return M, slices
+
+
+def epiband_resample(
+    fr_rect: jnp.ndarray,   # (V, h_r, w_r, C) features (bf16 or f32)
+    fs_rect: jnp.ndarray,   # (V, h_r, ws_r, C)
+    base: jnp.ndarray,      # (V, h_r, w_r) f32
+    sigma: jnp.ndarray,     # (V, h_r, w_r) f32
+    n_hyp: int,
+    s_max: int,
+    sigma_lo: float = 0.0,
+    sigma_hi: float = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(V, h_r, w_r, D) fp32 rect-grid cost volume.
+
+    ``sigma_lo/sigma_hi``: static bounds on ``sigma`` values (scene rate
+    bounds x incre).  When ``sigma_hi`` is None the select windows span the
+    whole hypothesis band (correct for any sigma, slower).
+    """
+    V, h_r, w_r, C = fr_rect.shape
+    ws = fs_rect.shape[2]
+    assert w_r % XC == 0, (w_r, XC)
+    if jax.default_backend() == "cpu":
+        interpret = True  # pallas has no CPU backend; tests run interpreted
+    if sigma_hi is None:
+        sigma_hi = float(s_max) / max(n_hyp - 1, 1)
+        sigma_lo = 0.0
+    M, slices = _window_and_slices(n_hyp, sigma_lo, sigma_hi)
+    M = min(M, ws)
+
+    kern = functools.partial(
+        _epiband_kernel, D=n_hyp, s_max=s_max, ws=ws, M=M, slices=slices)
+    return pl.pallas_call(
+        kern,
+        grid=(V, h_r, w_r // XC),
+        in_specs=[
+            pl.BlockSpec((1, 1, XC, C), lambda v, y, x: (v, y, x, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ws, C), lambda v, y, x: (v, y, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, XC, 1), lambda v, y, x: (v, y, x, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, XC, 1), lambda v, y, x: (v, y, x, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, XC, n_hyp),
+                               lambda v, y, x: (v, y, x, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((V, h_r, w_r, n_hyp), jnp.float32),
+        interpret=interpret,
+    )(fr_rect, fs_rect, base[..., None], sigma[..., None])

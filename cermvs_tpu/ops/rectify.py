@@ -189,6 +189,10 @@ class RectPlan:
     s_neg: int        # negative-disparity margin (px, behind-slab hypotheses)
     ok: bool = True   # False => caller must use the exact path
     reason: str = ""
+    # scene-wide bounds on the disparity rate fx_r*B*g (px per unit inverse
+    # depth) — static inputs for the fused kernel's banded-select windows
+    rate_lo: float = 0.0
+    rate_hi: float = 0.0
 
     @property
     def ws_r(self) -> int:
@@ -249,6 +253,7 @@ def plan_rectification(
         np.float64)
 
     w_need, h_need, s_need = 0.0, 0.0, 0.0
+    rate_lo, rate_hi = np.inf, 0.0
     for v in range(N - 1):
         A = _K(fx_r, fy_r, 0.0, 0.0, xp=np) @ R_ri[v] @ Ki_inv
         q = corners @ A.T
@@ -268,14 +273,28 @@ def plan_rectification(
             return RectPlan(0, 0, 0, 0, False,
                             f"rect ray grazes principal plane (view {v})")
         s_need = max(s_need, fx_r * bl[v] * g.max() * lambda_max)
+        rate_lo = min(rate_lo, fx_r * bl[v] * g.min())
+        rate_hi = max(rate_hi, fx_r * bl[v] * g.max())
 
+    # coarse rounding so per-ref-view plans within a scan bucket to one
+    # compiled graph (the plan is part of the jit cache key downstream)
     w_r = _round_up(w_need + 2 * pad, 128)
-    h_r = _round_up(h_need + 2 * pad, 8)
+    h_r = _round_up(h_need + 2 * pad, 32)
     s_max = _round_up(s_need + pad, 64)
     if w_r + s_max + s_neg > max_width_factor * (w + s_need + 2 * pad) + 256:
         return RectPlan(0, 0, 0, 0, False,
                         f"rect grid blow-up (w_r={w_r}, s_max={s_max})")
-    return RectPlan(h_r, w_r, s_max, int(s_neg), True, "")
+    # sampled g grids bound interior extrema only approximately; pad the rate
+    # interval so the kernel's static select windows stay sound, then snap to
+    # a multiplicative grid (outward) so float jitter across per-view plans
+    # cannot fragment the jit cache
+    margin = 0.02 * (rate_hi - rate_lo) + 1e-6
+    lo, hi = max(rate_lo - margin, 1e-6), rate_hi + margin
+    step = math.log(1.15)
+    lo = math.exp(math.floor(math.log(lo) / step) * step)
+    hi = math.exp(math.ceil(math.log(hi) / step) * step)
+    return RectPlan(h_r, w_r, s_max, int(s_neg), True, "",
+                    rate_lo=float(lo), rate_hi=float(hi))
 
 
 # ---------------------------------------------------------------------------

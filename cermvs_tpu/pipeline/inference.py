@@ -33,30 +33,70 @@ class InferenceRunner:
     across chips.
     """
 
-    def __init__(self, params, model=None, mesh=None, **model_kwargs):
+    def __init__(self, params, model=None, mesh=None, construction="exact",
+                 rect_lambda_max: float = 0.00375, **model_kwargs):
         import jax
         from cermvs_tpu.models.raft import RAFT
 
         self.model = model or RAFT(test_mode=True, **model_kwargs)
+        self.model_kwargs = model_kwargs
         self.params = params
         self.mesh = mesh
-        self._cache: Dict[Tuple[int, int, int], object] = {}
+        # construction: "exact" | "rectified" | "auto".  "rectified"/"auto"
+        # swap in the rectification fast path (ops/corr_rectified.py) when
+        # the host planner accepts the scene geometry; "auto" silently falls
+        # back to exact, "rectified" warns on fallback.
+        self.construction = construction
+        self.rect_lambda_max = rect_lambda_max
+        self._cache: Dict[tuple, object] = {}
+        self._rect_models: Dict[object, object] = {}
+        self._warned_fallback = False
         self._jax = jax
 
-    def _fn(self, shape):
+    def _rect_model(self, poses, intrinsics, scale, img_shape):
+        """Host-side per-sample plan -> model with the rectified volume_fn
+        (None when the exact path must be used)."""
+        from cermvs_tpu.models.raft import RAFT
+        from cermvs_tpu.ops.corr_rectified import make_rectified_volume_fn
+        from cermvs_tpu.ops.rectify import plan_rectification
+
+        f = self.model.stride_factor
+        poses = np.asarray(poses, np.float64).copy()
+        poses[..., :3, 3] *= float(scale)  # RAFT scales translations in-graph
+        intr = np.asarray(intrinsics, np.float64).copy()
+        intr[..., :2, :] /= f
+        plan = plan_rectification(
+            poses, intr, img_shape[0] // f, img_shape[1] // f,
+            lambda_max=self.rect_lambda_max)
+        if not plan.ok:
+            if self.construction == "rectified" and not self._warned_fallback:
+                print(f"[inference] rectified construction unavailable "
+                      f"({plan.reason}); using exact path")
+                self._warned_fallback = True
+            return None, None
+        if plan not in self._rect_models:
+            self._rect_models[plan] = RAFT(
+                test_mode=True,
+                volume_fn=make_rectified_volume_fn(plan),
+                **self.model_kwargs)
+        return self._rect_models[plan], plan
+
+    def _fn(self, shape, model=None, key=None):
         import jax
 
-        if shape not in self._cache:
+        model = model or self.model
+        cache_key = (shape, key)
+        if cache_key not in self._cache:
             if self.mesh is not None:
                 from cermvs_tpu.parallel.infer import view_sharded_forward
 
-                self._cache[shape] = jax.jit(
+                self._cache[cache_key] = jax.jit(
                     lambda p, im, po, k, s: view_sharded_forward(
-                        self.model, p, im, po, k, s, self.mesh))
+                        model, p, im, po, k, s, self.mesh))
             else:
-                self._cache[shape] = jax.jit(
-                    lambda p, im, po, k, s: self.model.apply(p, im, po, k, s))
-        return self._cache[shape]
+                self._cache[cache_key] = jax.jit(
+                    lambda p, im, po, k, s: model.apply(p, im, po, k, s))
+        return self._cache[cache_key]
 
     def submit_batch(self, images, poses, intrinsics, scales):
         """Dispatch a BATCH of reference views (async under jax's dispatch).
@@ -73,7 +113,12 @@ class InferenceRunner:
         po = jnp.asarray(np.asarray(poses, np.float32))
         k = jnp.asarray(np.asarray(intrinsics, np.float32))
         s = jnp.asarray(np.asarray(scales, np.float32))
-        fn = self._fn(tuple(im.shape[:4]))
+        model, key = None, None
+        if (self.construction in ("rectified", "auto") and im.shape[0] == 1
+                and self.mesh is None):
+            model, key = self._rect_model(
+                poses[0], intrinsics[0], scales[0], images[0].shape[1:3])
+        fn = self._fn(tuple(im.shape[:4]), model, key)
         return fn(self.params, im, po, k, s)
 
     def submit(self, images, poses, intrinsics, scale):
@@ -109,6 +154,7 @@ def inference(
     model_kwargs: Optional[dict] = None,
     mesh=None,
     view_batch: int = 1,
+    construction: str = "exact",
 ):
     # NOTE view_batch > 1 amortizes fixed costs for SMALL scenes; at
     # production sizes it increases HBM pressure and measured 2.7x SLOWER
@@ -125,7 +171,8 @@ def inference(
         if ckpt is None:
             raise ValueError("need ckpt path or params")
         params = load_params(ckpt)
-    runner = InferenceRunner(params, mesh=mesh, **(model_kwargs or {}))
+    runner = InferenceRunner(params, mesh=mesh, construction=construction,
+                             **(model_kwargs or {}))
 
     output_folder = Path(output_folder)
     (output_folder / "depths").mkdir(exist_ok=True, parents=True)

@@ -223,3 +223,104 @@ def test_planner_grid_shapes():
     fwd = np.asarray(geo["fwd_coords"])
     assert fwd[..., 0].min() > 0 and fwd[..., 0].max() < plan.w_r - 1
     assert fwd[..., 1].min() > 0 and fwd[..., 1].max() < plan.h_r - 1
+
+
+class TestEpibandKernel:
+    """Fused Pallas kernel vs the XLA oracle resampler (interpret mode)."""
+
+    @pytest.fixture(autouse=True)
+    def _interpret(self):
+        from jax.experimental.pallas import tpu as pltpu
+        with pltpu.force_tpu_interpret_mode():
+            yield
+
+    def _check(self, rng, sigma_rng=(1.0, 3.0), base_rng=(-4.0, 40.0),
+               bounds=True, D=8):
+        from cermvs_tpu.ops.corr_rectified import _resample_rows_oracle
+        from cermvs_tpu.ops.pallas.epiband import epiband_resample
+        V, h_r, w_r, ws, C = 2, 8, 128, 224, 8
+        s_max = ws - w_r - 16
+        fr = jnp.asarray(rng.randn(V, h_r, w_r, C).astype(np.float32))
+        fs = jnp.asarray(rng.randn(V, h_r, ws, C).astype(np.float32))
+        base = jnp.asarray(
+            rng.uniform(*base_rng, (V, h_r, w_r)).astype(np.float32))
+        sigma = jnp.asarray(
+            rng.uniform(*sigma_rng, (V, h_r, w_r)).astype(np.float32))
+        ref = jax.vmap(lambda a, b, c, d: _resample_rows_oracle(
+            a, b, c, d, D, s_max))(fr, fs, base, sigma)
+        out = epiband_resample(
+            fr, fs, base, sigma, D, s_max,
+            sigma_lo=sigma_rng[0] if bounds else 0.0,
+            sigma_hi=sigma_rng[1] if bounds else None)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-3)
+
+    def test_matches_oracle_bounded(self, rng):
+        self._check(rng)
+
+    def test_matches_oracle_full_window(self, rng):
+        self._check(rng, bounds=False)
+
+    def test_out_of_band_positions(self, rng):
+        # slabs partly left of the band (large base) and right of it
+        # (negative base beyond the s_neg margin) must zero out like interp1d
+        self._check(rng, base_rng=(-60.0, 90.0))
+
+    def test_narrow_sigma_stage1(self, rng):
+        self._check(rng, sigma_rng=(0.4, 0.7), base_rng=(-10.0, 70.0), D=16)
+
+
+class TestInferenceRunnerIntegration:
+    """construction="auto"/"rectified" through the inference driver."""
+
+    def _scene(self, H=64, W=192, n=3):
+        K = np.array([[80.0, 0, W / 2], [0, 80.0, H / 2], [0, 0, 1]],
+                     np.float32)
+        poses = np.stack([np.eye(4, dtype=np.float32) for _ in range(n)])
+        for i, bx in enumerate([0.0, 1.2, -1.6]):
+            poses[i, 0, 3] = -bx
+        rng = np.random.RandomState(0)
+        images = rng.rand(n, H, W, 3).astype(np.float32) * 255
+        return images, poses, np.tile(K, (n, 1, 1))
+
+    def test_auto_matches_exact_on_lateral_scene(self):
+        from cermvs_tpu.pipeline.inference import InferenceRunner
+        from cermvs_tpu.models.raft import RAFT
+
+        images, poses, intr = self._scene()
+        kwargs = dict(cascade=((8, 0.5, 2),), dtype=jnp.float32,
+                      rect_lambda_max=0.1)
+        model = RAFT(test_mode=True, cascade=((8, 0.5, 2),),
+                     dtype=jnp.float32)
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.asarray(images[None]),
+            jnp.asarray(poses[None]), jnp.asarray(intr[None]),
+            jnp.asarray([1.0]))
+        r_exact = InferenceRunner(params, construction="exact", **{
+            k: v for k, v in kwargs.items() if k != "rect_lambda_max"})
+        r_auto = InferenceRunner(params, construction="auto", **kwargs)
+        d_exact = r_exact(images, poses, intr, 1.0)
+        d_auto = r_auto(images, poses, intr, 1.0)
+        assert r_auto._rect_models, "rectified path was not engaged"
+        # lateral motion: rectified sampling is lossless; trained-free
+        # weights still map identical volumes to identical outputs
+        np.testing.assert_allclose(d_auto, d_exact, rtol=1e-3, atol=1e-4)
+
+    def test_auto_falls_back_on_forward_motion(self):
+        from cermvs_tpu.pipeline.inference import InferenceRunner
+        from cermvs_tpu.models.raft import RAFT
+
+        images, poses, intr = self._scene()
+        poses[1, :3, 3] = [0.0, 0.0, -1.0]  # forward baseline
+        poses[2, :3, 3] = [0.0, 0.0, 1.0]
+        model = RAFT(test_mode=True, cascade=((8, 0.5, 2),),
+                     dtype=jnp.float32)
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.asarray(images[None]),
+            jnp.asarray(poses[None]), jnp.asarray(intr[None]),
+            jnp.asarray([1.0]))
+        runner = InferenceRunner(params, construction="auto",
+                                 cascade=((8, 0.5, 2),), dtype=jnp.float32)
+        depth = runner(images, poses, intr, 1.0)
+        assert not runner._rect_models
+        assert np.isfinite(depth).all()
