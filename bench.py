@@ -12,6 +12,15 @@ Baseline: the reference publishes no per-view latency (BASELINE.md) — the
 instrument.  We use 0.5 depth-maps/sec (2 s/view on the reference's RTX 3090
 class hardware for this configuration) as the comparison point; vs_baseline =
 ours / 0.5.
+
+Camera geometry mirrors the DTU rig (cameras on a ~600 mm sphere looking at
+the object — mostly-lateral pairwise baselines), so ``--construction
+rectified``/``auto`` exercise the rectified construction (fast path when the
+host planner accepts the scene, exact otherwise).  The default is ``exact``:
+the rectified path currently measures SLOWER end-to-end on this scene
+(0.69 vs 1.02 maps/s — scene-wide static select windows inflated ~2.5x by
+the 5x per-view baseline spread; see ROADMAP.md) and stays opt-in until it
+wins.
 """
 
 import json
@@ -28,31 +37,60 @@ H, W = 1152, 1600
 NUM_FRAMES = 10  # neighbors; total views = 11
 
 
+def dtu_ring_poses(n, rs):
+    """World-to-camera poses of a DTU-like rig: cameras on a sphere of
+    radius ~600 mm looking at the object at the origin (the DTU robot-arm
+    geometry — mostly lateral pairwise baselines of 20-100 mm)."""
+    poses = np.zeros((n, 4, 4), np.float32)
+    for i in range(n):
+        ang = 0.06 * ((i + 1) // 2) * (1 if i % 2 else -1)
+        elev = 0.04 * (i % 3 - 1)
+        eye = 600.0 * np.array(
+            [np.sin(ang), np.sin(elev), -np.cos(ang) * np.cos(elev)])
+        fwd = -eye / np.linalg.norm(eye)
+        right = np.cross(fwd, [0.0, 1.0, 0.0])
+        right /= np.linalg.norm(right)
+        down = np.cross(fwd, right)
+        R = np.stack([right, down, fwd]).astype(np.float32)
+        poses[i, :3, :3] = R
+        poses[i, :3, 3] = -R @ eye.astype(np.float32)
+        poses[i, 3, 3] = 1.0
+    return poses
+
+
 def main():
     import jax
     import jax.numpy as jnp
     from cermvs_tpu.models.raft import RAFT
 
     small = "--small" in sys.argv
+    construction = "exact"
+    if "--construction" in sys.argv:
+        construction = sys.argv[sys.argv.index("--construction") + 1]
     h, w, n = (256, 320, 4) if small else (H, W, NUM_FRAMES + 1)
 
-    model = RAFT(test_mode=True, hyp_chunk=8)
     rng = np.random.RandomState(0)
     images = jnp.asarray((rng.rand(1, n, h, w, 3) * 255).astype(np.float32))
     K = np.array([[2892.0 * w / 1600, 0, w / 2], [0, 2892.0 * w / 1600, h / 2],
                   [0, 0, 1]], np.float32)
     intrinsics = jnp.asarray(np.tile(K, (1, n, 1, 1)))
-    poses = np.tile(np.eye(4, dtype=np.float32), (1, n, 1, 1))
-    rs = np.random.RandomState(1)
-    for i in range(1, n):
-        # DTU-like ring of cameras: small rotations + ~baseline translations
-        angle = 0.05 * i
-        c, s = np.cos(angle), np.sin(angle)
-        poses[0, i, :3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
-        poses[0, i, :3, 3] = rs.randn(3) * 20.0
-    poses = jnp.asarray(poses)
+    poses = jnp.asarray(dtu_ring_poses(n, np.random.RandomState(1))[None])
     scale = jnp.ones((1,), jnp.float32)
 
+    volume_fn = None
+    if construction in ("rectified", "auto"):
+        from cermvs_tpu.ops.corr_rectified import make_rectified_volume_fn
+        from cermvs_tpu.ops.rectify import plan_rectification
+
+        K4 = np.asarray(intrinsics).copy()
+        K4[..., :2, :] /= 4
+        plan = plan_rectification(np.asarray(poses), K4, h // 4, w // 4)
+        if plan.ok:
+            volume_fn = make_rectified_volume_fn(plan)
+        elif construction == "rectified":
+            raise RuntimeError(f"rectified plan rejected: {plan.reason}")
+
+    model = RAFT(test_mode=True, hyp_chunk=8, volume_fn=volume_fn)
     params = model.init(jax.random.PRNGKey(0), images, poses, intrinsics, scale)
 
     fwd = jax.jit(lambda p, im, po, k, s: model.apply(p, im, po, k, s))

@@ -33,39 +33,7 @@ import jax.numpy as jnp
 
 from cermvs_tpu.ops import rectify
 from cermvs_tpu.ops.rectify import RectPlan
-from cermvs_tpu.ops.sampling import bilinear_sample, interp1d
-
-
-def _warp_features_and_params(
-    fmaps, poses, intrinsics, ii, jj, origin, n_hyp, incre, plan: RectPlan,
-    feature_dtype,
-):
-    """Shared front half: rect geometry, feature warps, position parameters.
-
-    Returns (fr_rect (V,h_r,w_r,C), fs_rect (V,h_r,ws_r,C), base (V,h_r,w_r),
-    sigma (V,h_r,w_r), geo).
-    """
-    B, N, h, w, C = fmaps.shape
-    assert B == 1, "rectified construction supports batch size 1"
-    geo = rectify.rect_geometry(poses, intrinsics, ii, jj, h, w, plan)
-
-    f = fmaps.astype(jnp.float32) / 8.0  # core/corr.py:30-31 scaling
-    f_ref = f[0, 0]
-    f_src = jnp.take(f[0], jj, axis=0)  # (V, h, w, C)
-
-    warp_ref = jax.vmap(lambda co: rectify.warp_image(f_ref, co))
-    fr_rect = warp_ref(geo["ref_ref_coords"]).astype(feature_dtype)
-    warp_src = jax.vmap(rectify.warp_image)
-    fs_rect = warp_src(f_src, geo["ref_src_coords"]).astype(feature_dtype)
-
-    org = origin[0, 0][..., None]  # (h, w, 1)
-    warp_org = jax.vmap(
-        lambda co: rectify.warp_image(org, co, mode="clamp")[..., 0])
-    origin_rect = warp_org(geo["ref_ref_coords"])  # (V, h_r, w_r)
-
-    base = geo["rate"] * (origin_rect - (n_hyp // 2) * incre)
-    sigma = geo["rate"] * incre
-    return fr_rect, fs_rect, base, sigma, geo
+from cermvs_tpu.ops.sampling import interp1d
 
 
 def _resample_rows_oracle(fr_rect, fs_rect, base, sigma, n_hyp, s_max):
@@ -96,37 +64,58 @@ def build_corr_volume_rectified(
     plan: RectPlan,
     mean_over_views: bool = False,
     gather_dtype=None,
-    impl: str = "oracle",
+    impl: str = "pallas",
 ) -> jnp.ndarray:
     """Drop-in construction (signature parity with ``corr.build_corr_volume``
     modulo the static ``plan``/``impl``): returns (1, 1, h, w, D) when
     ``mean_over_views`` else (1, V, h, w, D), fp32.
+
+    Scans over views (like the exact builder): one view's rect grids, warped
+    features, and rect volume are live at a time — at production scale the
+    all-view arrays would be GBs of HBM.
     """
     B, N, h, w, C = fmaps.shape
     V = int(jj.shape[0])
     feature_dtype = gather_dtype or fmaps.dtype
-    fr_rect, fs_rect, base, sigma, geo = _warp_features_and_params(
-        fmaps, poses, intrinsics, ii, jj, origin, n_hyp, incre, plan,
-        feature_dtype)
+    assert B == 1, "rectified construction supports batch size 1"
+    geo = rectify.rect_geometry(poses, intrinsics, ii, jj, h, w, plan)
 
-    if impl == "pallas":
-        from cermvs_tpu.ops.pallas.epiband import epiband_resample
+    f = fmaps.astype(jnp.float32) / 8.0  # core/corr.py:30-31 scaling
+    f_ref = f[0, 0].astype(feature_dtype)
+    f_src = jnp.take(f[0], jj, axis=0).astype(feature_dtype)  # (V, h, w, C)
+    org = origin[0, 0][..., None]  # (h, w, 1)
 
-        sigma_hi = plan.rate_hi * incre if plan.rate_hi > 0 else None
-        vol_rect = epiband_resample(
-            fr_rect, fs_rect, base, sigma, n_hyp, plan.s_max,
-            sigma_lo=max(plan.rate_lo * incre, 0.0), sigma_hi=sigma_hi)
-    else:
-        vol_rect = jax.vmap(
-            lambda fr, fs, b, s: _resample_rows_oracle(
-                fr, fs, b, s, n_hyp, plan.s_max)
-        )(fr_rect, fs_rect, base, sigma)  # (V, h_r, w_r, D)
+    def one_view(xs):
+        fs_v, rrx, rry, rsx, rsy, fwx, fwy, rate = xs
+        fr_rect = rectify.warp_image(f_ref, rrx, rry).astype(feature_dtype)
+        fs_rect = rectify.warp_image(fs_v, rsx, rsy).astype(feature_dtype)
+        origin_rect = rectify.warp_image(org, rrx, rry, mode="clamp")[..., 0]
+        base = rate * (origin_rect - (n_hyp // 2) * incre)
+        sigma = rate * incre
+        if impl == "pallas":
+            from cermvs_tpu.ops.pallas.epiband import epiband_resample
 
-    back = jax.vmap(bilinear_sample)(vol_rect, geo["fwd_coords"])
-    # (V, h, w, D)
+            sigma_hi = plan.rate_hi * incre if plan.rate_hi > 0 else None
+            vol_rect = epiband_resample(
+                fr_rect[None], fs_rect[None], base[None], sigma[None],
+                n_hyp, plan.s_max,
+                sigma_lo=max(plan.rate_lo * incre, 0.0),
+                sigma_hi=sigma_hi)[0]
+        else:
+            vol_rect = _resample_rows_oracle(
+                fr_rect, fs_rect, base, sigma, n_hyp, plan.s_max)
+        return rectify.warp_image(vol_rect, fwx, fwy)  # (h, w, D) fp32
+
+    xs = (f_src, *geo["ref_ref_xy"], *geo["ref_src_xy"], *geo["fwd_xy"],
+          geo["rate"])
     if mean_over_views:
-        return back.mean(0)[None, None]
-    return back[None]
+        def body(acc, x):
+            return acc + one_view(x), None
+
+        vol, _ = jax.lax.scan(body, jnp.zeros((h, w, n_hyp), jnp.float32), xs)
+        return (vol / V)[None, None]
+    vols = jax.lax.map(one_view, xs)  # (V, h, w, D)
+    return vols[None]
 
 
 def make_rectified_volume_fn(plan: RectPlan, impl: str = "pallas"):

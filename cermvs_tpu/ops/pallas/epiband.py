@@ -34,30 +34,42 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 XC = 128  # x-chunk (sublane) tile; plans round w_r to a multiple of this
 
 
-def _epiband_kernel(fr_ref, fs_ref, base_ref, sigma_ref, out_ref, *,
-                    D, s_max, ws, M, slices):
+def _epiband_kernel(fr_ref, fs_ref, base_ref, sigma_ref, ones_ref, out_ref, *,
+                    D, s_max, ws, M, slices, xc=XC, n_rows=1, n_chunks=1):
     """One (view, row, x-chunk) cell.
 
     fr_ref: (1,1,XC,C); fs_ref: (1,1,ws,C); base/sigma: (1,1,XC,1);
-    out_ref: (1,1,XC,D).  ``slices``: per-k static (u0, u1) lane windows.
+    ones_ref: (sum(widths), D) static segment-sum matrix; out_ref:
+    (1,1,XC,D).  ``slices``: per-k static (u0, u1) lane windows.
     """
     xchunk = pl.program_id(2)
     fr = fr_ref[0, 0]            # (XC, C)
     fs = fs_ref[0, 0]            # (ws, C)
+    # bf16 inputs accumulate exactly in fp32 on the MXU; fp32 inputs need
+    # HIGHEST or the default TPU matmul truncates them to bf16 (and Mosaic
+    # rejects HIGHEST with a bf16 lhs)
     G = jax.lax.dot_general(
         fr, fs, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)  # (XC, ws)
+        preferred_element_type=jnp.float32,
+        precision=(jax.lax.Precision.HIGHEST if fr.dtype == jnp.float32
+                   else jax.lax.Precision.DEFAULT))  # (XC, ws)
 
-    base = base_ref[0, 0]        # (XC, 1) f32
-    sigma = sigma_ref[0, 0]      # (XC, 1) f32
-    xg = (jax.lax.broadcasted_iota(jnp.int32, (XC, 1), 0).astype(jnp.float32)
-          + (xchunk * XC).astype(jnp.float32))
+    # base/sigma are flattened (cells, xc) rows blocked (8, xc) — Mosaic
+    # requires >=8-sublane blocks; pick this cell's row then relayout the
+    # (xc,) lane row to a sublane column (1 vreg)
+    r = ((pl.program_id(0) * n_rows + pl.program_id(1)) * n_chunks
+         + pl.program_id(2))
+    base = base_ref[pl.ds(r % 8, 1), :].reshape(xc, 1)
+    sigma = sigma_ref[pl.ds(r % 8, 1), :].reshape(xc, 1)
+    xg = (jax.lax.broadcasted_iota(jnp.int32, (xc, 1), 0).astype(jnp.float32)
+          + (xchunk * xc).astype(jnp.float32))
     p0 = xg + float(s_max) - base          # position of hypothesis k=0
     c = jnp.floor(p0).astype(jnp.int32) - (M - 2)
     c = jnp.clip(c, -M, ws - 1)            # lower clamp only for pixels whose
@@ -79,13 +91,25 @@ def _epiband_kernel(fr_ref, fs_ref, base_ref, sigma_ref, out_ref, *,
     valid = ((s_abs >= 0) & (s_abs <= ws - 1)).astype(jnp.float32)
     av = aligned * valid
 
+    # hat-weighted products per hypothesis, concatenated along lanes; the
+    # reduction over each window is ONE MXU matmul against a static
+    # block-ones segment matrix — Mosaic lane reductions per k measured ~7x
+    # slower than this (see ARCHITECTURE.md performance notes)
+    pieces = []
     for k in range(D):
         u0, u1 = slices[k]
         rel = rel0 - float(k) * sigma      # (XC, 1)
         m = (jax.lax.broadcasted_iota(jnp.int32, (1, u1 - u0), 1)
              .astype(jnp.float32) + float(u0))
         wgt = jnp.maximum(1.0 - jnp.abs(m - rel), 0.0)
-        out_ref[0, 0, :, k] = jnp.sum(av[:, u0:u1] * wgt, axis=1)
+        pieces.append(av[:, u0:u1] * wgt)
+    prod = jnp.concatenate(pieces, axis=1)  # (XC, sum(widths))
+    # HIGHEST precision: the default TPU matmul truncates the fp32 products
+    # to bf16 before summing (verified on-chip) — the segment sum must be
+    # exact to preserve interp1d parity
+    out_ref[0, 0, :, :] = jnp.dot(prod, ones_ref[:, :],
+                                  preferred_element_type=jnp.float32,
+                                  precision=jax.lax.Precision.HIGHEST)
 
 
 def _window_and_slices(D, sigma_lo, sigma_hi):
@@ -113,6 +137,7 @@ def epiband_resample(
     sigma_lo: float = 0.0,
     sigma_hi: float = None,
     interpret: bool = False,
+    xc: int = None,
 ) -> jnp.ndarray:
     """(V, h_r, w_r, D) fp32 rect-grid cost volume.
 
@@ -122,7 +147,8 @@ def epiband_resample(
     """
     V, h_r, w_r, C = fr_rect.shape
     ws = fs_rect.shape[2]
-    assert w_r % XC == 0, (w_r, XC)
+    xc = xc or XC
+    assert w_r % xc == 0, (w_r, xc)
     if jax.default_backend() == "cpu":
         interpret = True  # pallas has no CPU backend; tests run interpreted
     if sigma_hi is None:
@@ -130,25 +156,53 @@ def epiband_resample(
         sigma_lo = 0.0
     M, slices = _window_and_slices(n_hyp, sigma_lo, sigma_hi)
     M = min(M, ws)
+    slices = [(min(u0, M - 1), min(u1, M)) for (u0, u1) in slices]
+
+    # pad the hypothesis (output lane) axis to a multiple of 64: unaligned
+    # lane counts (e.g. the cascade's D=44 stage) cost masked stores
+    Dp = -(-n_hyp // 64) * 64
+
+    # static segment-sum matrix: lane j of the concatenated products belongs
+    # to hypothesis seg(j) — ones[j, k] = 1 iff seg(j) == k
+    widths = [u1 - u0 for (u0, u1) in slices]
+    total = sum(widths)
+    seg = np.repeat(np.arange(n_hyp), widths)
+    ones = jnp.asarray(
+        (seg[:, None] == np.arange(Dp)[None, :]).astype(np.float32))
+
+    n_chunks = w_r // xc
+    cells = V * h_r * n_chunks
+    cells_pad = -(-cells // 8) * 8
+    flat = lambda a: jnp.pad(
+        a.reshape(cells, xc), ((0, cells_pad - cells), (0, 0)))
+    base2 = flat(base)
+    sigma2 = flat(sigma)
+
+    def _cell_index(v, y, x):
+        return (((v * h_r + y) * n_chunks + x) // 8, 0)
 
     kern = functools.partial(
-        _epiband_kernel, D=n_hyp, s_max=s_max, ws=ws, M=M, slices=slices)
-    return pl.pallas_call(
+        _epiband_kernel, D=n_hyp, s_max=s_max, ws=ws, M=M, slices=slices,
+        xc=xc, n_rows=h_r, n_chunks=n_chunks)
+    out = pl.pallas_call(
         kern,
-        grid=(V, h_r, w_r // XC),
+        grid=(V, h_r, w_r // xc),
         in_specs=[
-            pl.BlockSpec((1, 1, XC, C), lambda v, y, x: (v, y, x, 0),
+            pl.BlockSpec((1, 1, xc, C), lambda v, y, x: (v, y, x, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, ws, C), lambda v, y, x: (v, y, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, XC, 1), lambda v, y, x: (v, y, x, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, XC, 1), lambda v, y, x: (v, y, x, 0),
+            # base/sigma: flattened cell rows, 8-sublane blocks (no trailing
+            # size-1 dims anywhere — XLA pads small lane dims 128x)
+            pl.BlockSpec((8, xc), _cell_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, xc), _cell_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((total, Dp), lambda v, y, x: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, XC, n_hyp),
+        out_specs=pl.BlockSpec((1, 1, xc, Dp),
                                lambda v, y, x: (v, y, x, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((V, h_r, w_r, n_hyp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((V, h_r, w_r, Dp), jnp.float32),
         interpret=interpret,
-    )(fr_rect, fs_rect, base[..., None], sigma[..., None])
+    )(fr_rect, fs_rect, base2, sigma2, ones)
+    return out[..., :n_hyp] if Dp != n_hyp else out

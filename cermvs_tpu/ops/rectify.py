@@ -50,9 +50,6 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from cermvs_tpu.ops.sampling import bilinear_sample
-
-
 # ---------------------------------------------------------------------------
 # Core rotation construction (dtype-generic: works for jnp and np arrays)
 # ---------------------------------------------------------------------------
@@ -134,9 +131,11 @@ def _K_inv(fx, fy, cx, cy, xp=jnp):
 def homography_grid(H, out_h: int, out_w: int, xp=jnp, clamp: float = 1e4):
     """Apply 3x3 homography(ies) to the pixel grid of an (out_h, out_w) image.
 
-    H: (..., 3, 3) -> coords (..., out_h, out_w, 2), perspective-divided and
-    clamped (denominators through the rotation homographies stay positive on
-    the used region; the clamp only tames far-outside pixels).
+    H: (..., 3, 3) -> (qx, qy) each (..., out_h, out_w), perspective-divided
+    and clamped.  Componentwise on (h, w)-shaped grids: stacking a trailing
+    xyz/xy dim puts a size-2/3 axis in the TPU lane dimension — XLA pads it
+    to 128 lanes (measured 64x HBM blowups at production scale), so small
+    trailing dims are banned from every large array on this path.
     """
     y = xp.arange(out_h, dtype=xp.float32)
     x = xp.arange(out_w, dtype=xp.float32)
@@ -144,29 +143,48 @@ def homography_grid(H, out_h: int, out_w: int, xp=jnp, clamp: float = 1e4):
         gy, gx = np.meshgrid(y, x, indexing="ij")
     else:
         gy, gx = jnp.meshgrid(y, x, indexing="ij")
-    ones = xp.ones_like(gx)
-    p = xp.stack([gx, gy, ones], -1)  # (out_h, out_w, 3)
-    q = xp.einsum("...ij,hwj->...hwi", H, p)
-    w = q[..., 2:3]
-    w = xp.where(xp.abs(w) < 1e-9, 1e-9 * xp.sign(w) + (w == 0) * 1e-9, w)
-    xy = q[..., :2] / w
-    return xp.clip(xy, -clamp, clamp)
+    shape = H.shape[:-2] + (1, 1)
+    comp = lambda i: (H[..., i, 0].reshape(shape) * gx
+                      + H[..., i, 1].reshape(shape) * gy
+                      + H[..., i, 2].reshape(shape))
+    qx, qy, w = comp(0), comp(1), comp(2)
+    w = xp.where(xp.abs(w) < 1e-9, 1e-9, w)
+    return (xp.clip(qx / w, -clamp, clamp), xp.clip(qy / w, -clamp, clamp))
 
 
-def warp_image(img: jnp.ndarray, coords: jnp.ndarray, mode: str = "zero"):
-    """Inverse-warp ``img`` (H, W, C) at ``coords`` (h, w, 2) pixel positions.
+def warp_image(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
+               mode: str = "zero"):
+    """Inverse-warp ``img`` (H, W, C) at pixel positions x/y (...,).
 
     mode="zero": out-of-image samples contribute zero (feature warps — matches
     the exact path's zero out-of-bounds corners, ``correlation_kernel.cu``
     boundary masks). mode="clamp": edge-extend (per-pixel parameter maps like
     the slab origin, where zero bleed-in would corrupt boundary values).
+    Taps are gathered in ``img.dtype`` (bf16-safe); lerp weights stay fp32.
     """
+    H, W = img.shape[:2]
     if mode == "clamp":
-        H, W = img.shape[:2]
-        x = jnp.clip(coords[..., 0], 0.0, W - 1.0)
-        y = jnp.clip(coords[..., 1], 0.0, H - 1.0)
-        coords = jnp.stack([x, y], -1)
-    return bilinear_sample(img, coords)
+        x = jnp.clip(x, 0.0, W - 1.0)
+        y = jnp.clip(y, 0.0, H - 1.0)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    ix0 = x0.astype(jnp.int32)
+    iy0 = y0.astype(jnp.int32)
+    flat = img.reshape(H * W, -1)
+
+    def tap(iy, ix, w):
+        inside = (ix >= 0) & (ix <= W - 1) & (iy >= 0) & (iy <= H - 1)
+        idx = jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1)
+        v = jnp.take(flat, idx.reshape(-1), axis=0).reshape(
+            idx.shape + (flat.shape[-1],))
+        return v.astype(jnp.float32) * (w * inside)[..., None]
+
+    return (tap(iy0, ix0, (1 - fx) * (1 - fy))
+            + tap(iy0, ix0 + 1, fx * (1 - fy))
+            + tap(iy0 + 1, ix0, (1 - fx) * fy)
+            + tap(iy0 + 1, ix0 + 1, fx * fy))
 
 
 # ---------------------------------------------------------------------------
@@ -314,10 +332,11 @@ def rect_geometry(
     """All per-view rectification maps, computed inside jit.
 
     poses: (1, N, 4, 4); intrinsics: (1, N, 3, 3) at feature stride.
-    Returns a dict of arrays (leading axis V):
-      ref_src_coords   (V, h_r, ws_r, 2)  original-src coords per rect-src cell
-      ref_ref_coords   (V, h_r, w_r, 2)   original-ref coords per rect-ref cell
-      fwd_coords       (V, h, w, 2)       rect-ref coords of each ref pixel
+    Returns a dict of arrays (leading axis V; coordinates are (x, y) PAIRS of
+    (V, h, w) arrays — no trailing xy dim, see :func:`homography_grid`):
+      ref_src_xy       original-src coords per rect-src cell (V, h_r, ws_r)x2
+      ref_ref_xy       original-ref coords per rect-ref cell (V, h_r, w_r)x2
+      fwd_xy           rect-ref coords of each ref pixel (V, h, w)x2
       g                (V, h_r, w_r)      per-pixel disparity-rate factor
       rate             (V, h_r, w_r)      fx_r * B * g  (disparity per unit
                                           inverse depth)
@@ -358,33 +377,36 @@ def rect_geometry(
 
     # rect-src array cell -> original src pixel (inverse warp)
     H_src_inv = jnp.einsum("vij,vkj,vkl->vil", Kj_mat, R_rj, Ksrc_inv)
-    ref_src_coords = homography_grid(H_src_inv, plan.h_r, plan.ws_r)
+    ref_src_xy = homography_grid(H_src_inv, plan.h_r, plan.ws_r)
 
     # rect-ref cell -> original ref pixel
     H_ref_inv = jnp.einsum("ij,vkj,vkl->vil", _K(Ki[0, 0], Ki[1, 1],
                                                  Ki[0, 2], Ki[1, 2]),
                            R_ri, Koff_inv)
-    ref_ref_coords = homography_grid(H_ref_inv, plan.h_r, plan.w_r)
+    ref_ref_xy = homography_grid(H_ref_inv, plan.h_r, plan.w_r)
 
     # ref pixel -> rect-ref coords (forward map, for the volume back-warp)
     H_fwd = jnp.einsum("vij,vjk,kl->vil", Koff, R_ri, Ki_inv)
-    fwd_coords = homography_grid(H_fwd, h, w)
+    fwd_xy = homography_grid(H_fwd, h, w)
 
     # g(q) = (R_ri^T . rect_ray)_3 — the THIRD COLUMN of R_ri dotted with the
     # rect-frame ray K_off^{-1} q~ (equals r3 . ref_ray when expressed on the
-    # reference grid; the planner uses that dual form)
+    # reference grid; the planner uses that dual form); componentwise to keep
+    # every array (V, h, w)-shaped
     y = jnp.arange(plan.h_r, dtype=jnp.float32)
     x = jnp.arange(plan.w_r, dtype=jnp.float32)
     gy, gx = jnp.meshgrid(y, x, indexing="ij")
-    rays = jnp.stack([gx, gy, jnp.ones_like(gx)], -1)  # (h_r, w_r, 3)
-    rays = jnp.einsum("vij,hwj->vhwi", Koff_inv, rays)
-    g = jnp.einsum("vhwi,vi->vhw", rays, R_ri[:, :, 2])
+    a = R_ri[:, 0, 2][:, None, None]
+    b = R_ri[:, 1, 2][:, None, None]
+    cc = R_ri[:, 2, 2][:, None, None]
+    g = (a * (gx[None] - ox[:, None, None]) / fx_r
+         + b * (gy[None] - oy[:, None, None]) / fy_r + cc)
     rate = fx_r * bl[:, None, None] * g
 
     return {
-        "ref_src_coords": ref_src_coords,
-        "ref_ref_coords": ref_ref_coords,
-        "fwd_coords": fwd_coords,
+        "ref_src_xy": ref_src_xy,
+        "ref_ref_xy": ref_ref_xy,
+        "fwd_xy": fwd_xy,
         "g": g,
         "rate": rate,
         "baseline": bl,

@@ -77,7 +77,8 @@ def test_sample_position_identity():
     exact = pixel_coords_of_hypotheses(
         jnp.asarray(poses), jnp.asarray(intr), ii, jj, disps)  # (1,V,3,h,w,2)
 
-    fwd = np.asarray(geo["fwd_coords"])   # (V, h, w, 2)
+    fwd = np.stack([np.asarray(geo["fwd_xy"][0]),
+                    np.asarray(geo["fwd_xy"][1])], -1)  # (V, h, w, 2)
     R_ri = np.asarray(geo["R_ri"])
     R_rj = np.asarray(geo["R_rj"])
     bl = np.asarray(geo["baseline"])
@@ -220,9 +221,9 @@ def test_planner_grid_shapes():
     ii, jj = _pairs(N)
     geo = rectify.rect_geometry(jnp.asarray(poses), jnp.asarray(intr),
                                 ii, jj, h, w, plan)
-    fwd = np.asarray(geo["fwd_coords"])
-    assert fwd[..., 0].min() > 0 and fwd[..., 0].max() < plan.w_r - 1
-    assert fwd[..., 1].min() > 0 and fwd[..., 1].max() < plan.h_r - 1
+    fx, fy = (np.asarray(a) for a in geo["fwd_xy"])
+    assert fx.min() > 0 and fx.max() < plan.w_r - 1
+    assert fy.min() > 0 and fy.max() < plan.h_r - 1
 
 
 class TestEpibandKernel:
