@@ -70,9 +70,12 @@ def build_corr_volume_rectified(
     modulo the static ``plan``/``impl``): returns (1, 1, h, w, D) when
     ``mean_over_views`` else (1, V, h, w, D), fp32.
 
-    Scans over views (like the exact builder): one view's rect grids, warped
-    features, and rect volume are live at a time — at production scale the
-    all-view arrays would be GBs of HBM.
+    The view loop is unrolled: each view's kernel uses ITS OWN static
+    disparity-rate window and src band (``RectPlan.view_rates/view_s_max``) —
+    scene-wide windows measured 2.3-2.7x slower with DTU-rig baseline spread
+    (benchmarks/profile_epiband2.py).  Views with identical snapped params
+    share one compiled kernel.  Per-view intermediates die into the mean
+    accumulator, so peak memory stays near the scanned version's.
     """
     B, N, h, w, C = fmaps.shape
     V = int(jj.shape[0])
@@ -85,37 +88,42 @@ def build_corr_volume_rectified(
     f_src = jnp.take(f[0], jj, axis=0).astype(feature_dtype)  # (V, h, w, C)
     org = origin[0, 0][..., None]  # (h, w, 1)
 
-    def one_view(xs):
-        fs_v, rrx, rry, rsx, rsy, fwx, fwy, rate = xs
-        fr_rect = rectify.warp_image(f_ref, rrx, rry).astype(feature_dtype)
-        fs_rect = rectify.warp_image(fs_v, rsx, rsy).astype(feature_dtype)
-        origin_rect = rectify.warp_image(org, rrx, rry, mode="clamp")[..., 0]
-        base = rate * (origin_rect - (n_hyp // 2) * incre)
-        sigma = rate * incre
+    rrx, rry = geo["ref_ref_xy"]
+    rsx, rsy = geo["ref_src_xy"]
+    fwx, fwy = geo["fwd_xy"]
+
+    def one_view(v):
+        rate_lo, rate_hi, s_max_v = plan.view_params(v)
+        col0 = plan.s_max - s_max_v  # src band: columns [col0, ws_r)
+        fr_rect = rectify.warp_image(
+            f_ref, rrx[v], rry[v]).astype(feature_dtype)
+        fs_rect = rectify.warp_image(
+            f_src[v], rsx[v, :, col0:], rsy[v, :, col0:]).astype(
+                feature_dtype)
+        origin_rect = rectify.warp_image(
+            org, rrx[v], rry[v], mode="clamp")[..., 0]
+        base = geo["rate"][v] * (origin_rect - (n_hyp // 2) * incre)
+        sigma = geo["rate"][v] * incre
         if impl == "pallas":
             from cermvs_tpu.ops.pallas.epiband import epiband_resample
 
-            sigma_hi = plan.rate_hi * incre if plan.rate_hi > 0 else None
+            sigma_hi = rate_hi * incre if rate_hi > 0 else None
             vol_rect = epiband_resample(
                 fr_rect[None], fs_rect[None], base[None], sigma[None],
-                n_hyp, plan.s_max,
-                sigma_lo=max(plan.rate_lo * incre, 0.0),
+                n_hyp, s_max_v,
+                sigma_lo=max(rate_lo * incre, 0.0),
                 sigma_hi=sigma_hi)[0]
         else:
             vol_rect = _resample_rows_oracle(
-                fr_rect, fs_rect, base, sigma, n_hyp, plan.s_max)
-        return rectify.warp_image(vol_rect, fwx, fwy)  # (h, w, D) fp32
+                fr_rect, fs_rect, base, sigma, n_hyp, s_max_v)
+        return rectify.warp_image(vol_rect, fwx[v], fwy[v])  # (h, w, D) fp32
 
-    xs = (f_src, *geo["ref_ref_xy"], *geo["ref_src_xy"], *geo["fwd_xy"],
-          geo["rate"])
     if mean_over_views:
-        def body(acc, x):
-            return acc + one_view(x), None
-
-        vol, _ = jax.lax.scan(body, jnp.zeros((h, w, n_hyp), jnp.float32), xs)
+        vol = one_view(0)
+        for v in range(1, V):
+            vol = vol + one_view(v)
         return (vol / V)[None, None]
-    vols = jax.lax.map(one_view, xs)  # (V, h, w, D)
-    return vols[None]
+    return jnp.stack([one_view(v) for v in range(V)])[None]
 
 
 def make_rectified_volume_fn(plan: RectPlan, impl: str = "pallas"):

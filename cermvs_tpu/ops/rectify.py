@@ -177,7 +177,10 @@ def warp_image(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     def tap(iy, ix, w):
         inside = (ix >= 0) & (ix <= W - 1) & (iy >= 0) & (iy <= H - 1)
         idx = jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1)
-        v = jnp.take(flat, idx.reshape(-1), axis=0).reshape(
+        # mode='clip' (indices pre-clipped): the default fill mode
+        # materializes an extra select buffer the size of the gather output
+        # (DEVNOTES.md)
+        v = jnp.take(flat, idx.reshape(-1), axis=0, mode="clip").reshape(
             idx.shape + (flat.shape[-1],))
         return v.astype(jnp.float32) * (w * inside)[..., None]
 
@@ -211,10 +214,25 @@ class RectPlan:
     # depth) — static inputs for the fused kernel's banded-select windows
     rate_lo: float = 0.0
     rate_hi: float = 0.0
+    # per-view refinements (leading index = view position in jj): rate bounds
+    # and disparity band, both snapped to coarse grids so views bucket into
+    # few kernel variants.  Within one view the rate spread is ~1.1x (g only)
+    # while across views it follows the baseline spread (~5x on DTU rigs) —
+    # per-view windows keep the kernel's static selects near-minimal.
+    # Empty tuples => use the scene-wide values for every view.
+    view_rates: Tuple[Tuple[float, float], ...] = ()
+    view_s_max: Tuple[int, ...] = ()
 
     @property
     def ws_r(self) -> int:
         return self.w_r + self.s_max + self.s_neg
+
+    def view_params(self, v: int) -> Tuple[float, float, int]:
+        """(rate_lo, rate_hi, s_max) for view ``v`` (scene-wide fallback)."""
+        if self.view_rates:
+            lo, hi = self.view_rates[v]
+            return lo, hi, self.view_s_max[v]
+        return self.rate_lo, self.rate_hi, self.s_max
 
 
 def _round_up(v: float, m: int) -> int:
@@ -272,6 +290,7 @@ def plan_rectification(
 
     w_need, h_need, s_need = 0.0, 0.0, 0.0
     rate_lo, rate_hi = np.inf, 0.0
+    v_lo, v_hi, v_s = [], [], []
     for v in range(N - 1):
         A = _K(fx_r, fy_r, 0.0, 0.0, xp=np) @ R_ri[v] @ Ki_inv
         q = corners @ A.T
@@ -293,6 +312,9 @@ def plan_rectification(
         s_need = max(s_need, fx_r * bl[v] * g.max() * lambda_max)
         rate_lo = min(rate_lo, fx_r * bl[v] * g.min())
         rate_hi = max(rate_hi, fx_r * bl[v] * g.max())
+        v_lo.append(fx_r * bl[v] * g.min())
+        v_hi.append(fx_r * bl[v] * g.max())
+        v_s.append(fx_r * bl[v] * g.max() * lambda_max)
 
     # coarse rounding so per-ref-view plans within a scan bucket to one
     # compiled graph (the plan is part of the jit cache key downstream)
@@ -306,13 +328,29 @@ def plan_rectification(
     # interval so the kernel's static select windows stay sound, then snap to
     # a multiplicative grid (outward) so float jitter across per-view plans
     # cannot fragment the jit cache
+    lo, hi = _snap_rates(rate_lo, rate_hi)
+    # per-view refinements, snapped the same way (plus per-view disparity
+    # bands rounded to 64) so views bucket into few kernel variants
+    view_rates = tuple(_snap_rates(a, b) for a, b in zip(v_lo, v_hi))
+    view_s_max = tuple(min(_round_up(s + pad, 64), s_max) for s in v_s)
+    return RectPlan(h_r, w_r, s_max, int(s_neg), True, "",
+                    rate_lo=float(lo), rate_hi=float(hi),
+                    view_rates=view_rates, view_s_max=view_s_max)
+
+
+def _snap_rates(rate_lo: float, rate_hi: float) -> Tuple[float, float]:
+    """Outward-snap a rate interval to a multiplicative grid.
+
+    Sampled g grids bound interior extrema only approximately; pad the
+    interval 2%, then snap to a log-1.15 grid so float jitter across per-
+    ref-view plans cannot fragment the jit cache.
+    """
     margin = 0.02 * (rate_hi - rate_lo) + 1e-6
     lo, hi = max(rate_lo - margin, 1e-6), rate_hi + margin
     step = math.log(1.15)
     lo = math.exp(math.floor(math.log(lo) / step) * step)
     hi = math.exp(math.ceil(math.log(hi) / step) * step)
-    return RectPlan(h_r, w_r, s_max, int(s_neg), True, "",
-                    rate_lo=float(lo), rate_hi=float(hi))
+    return float(lo), float(hi)
 
 
 # ---------------------------------------------------------------------------

@@ -81,6 +81,16 @@ class InferenceRunner:
                 **self.model_kwargs)
         return self._rect_models[plan], plan
 
+    @staticmethod
+    def _neighbor_order(poses) -> np.ndarray:
+        """[0, neighbors sorted by ascending baseline to the reference]."""
+        po = np.asarray(poses, np.float64)
+        rel = po[1:] @ np.linalg.inv(po[0])  # ref-cam -> neighbor-cam
+        centers = -np.einsum("vji,vj->vi", rel[:, :3, :3], rel[:, :3, 3])
+        return np.concatenate(
+            [[0], 1 + np.argsort(np.linalg.norm(centers, axis=-1),
+                                 kind="stable")])
+
     def _fn(self, shape, model=None, key=None):
         import jax
 
@@ -109,15 +119,26 @@ class InferenceRunner:
         """
         import jax.numpy as jnp
 
-        im = jnp.asarray(np.asarray(images, np.float32).astype(jnp.bfloat16))
-        po = jnp.asarray(np.asarray(poses, np.float32))
-        k = jnp.asarray(np.asarray(intrinsics, np.float32))
-        s = jnp.asarray(np.asarray(scales, np.float32))
+        images = np.asarray(images, np.float32)
+        poses = np.asarray(poses, np.float32)
+        intrinsics = np.asarray(intrinsics, np.float32)
         model, key = None, None
-        if (self.construction in ("rectified", "auto") and im.shape[0] == 1
-                and self.mesh is None):
+        if (self.construction in ("rectified", "auto")
+                and images.shape[0] == 1 and self.mesh is None):
+            # canonicalize neighbor order by baseline: view aggregation is
+            # permutation-invariant (mean/max/std over views), and sorted
+            # neighbors make per-view-bucketed plans (RectPlan.view_rates)
+            # collide across reference views instead of fragmenting the
+            # compile cache on neighbor order
+            order = self._neighbor_order(poses[0])
+            images, poses, intrinsics = (a[:, order] for a in
+                                         (images, poses, intrinsics))
             model, key = self._rect_model(
                 poses[0], intrinsics[0], scales[0], images[0].shape[1:3])
+        im = jnp.asarray(images.astype(jnp.bfloat16))
+        po = jnp.asarray(poses)
+        k = jnp.asarray(intrinsics)
+        s = jnp.asarray(np.asarray(scales, np.float32))
         fn = self._fn(tuple(im.shape[:4]), model, key)
         return fn(self.params, im, po, k, s)
 
