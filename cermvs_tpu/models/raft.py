@@ -157,6 +157,9 @@ class RAFT(nn.Module):
                 # the corner buffer in that dtype is LOSSLESS (fp32
                 # accumulation) while halving the dominant HBM random reads
                 gather_dtype=self.dtype,
+                # stage 0 builds on the zero-init disparity, so the shifted
+                # slab origin is statically (D//2)*incre everywhere
+                zero_slab=(stage == 0),
             )
             Vv = 1 if self.mean_volume else V
 

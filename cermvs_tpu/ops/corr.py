@@ -242,12 +242,17 @@ def build_corr_volume(
     hyp_chunk: int = 16,
     mean_over_views: bool = False,
     gather_dtype=None,
+    zero_slab: bool = False,
 ) -> jnp.ndarray:
     """Build the (B, V, H, W, D) epipolar correlation volume
     (or (B, 1, H, W, D) view-averaged — see :func:`build_corr_volume_from`).
 
     fmaps: (B, N, H, W, C) feature maps (fp32); origin: (B, 1, H, W).
+    ``zero_slab`` (origin statically equals the stage-0 clamp) is a hint for
+    alternative builders (ops/corr_rectified.py); the exact gather path
+    gains nothing from it.
     """
+    del zero_slab
     from cermvs_tpu.ops.geometry import relative_projection
 
     fmaps = fmaps.astype(jnp.float32) / 8.0
@@ -343,6 +348,7 @@ def build_corr_pyramid(
     shift: bool, num_levels: int = 3, hyp_chunk: int = 16,
     volume_fn=None, materialize_pyramid: bool = True,
     mean_over_views: bool = False, gather_dtype=None,
+    zero_slab: bool = False,
 ) -> CorrPyramid:
     """CorrBlock constructor equivalent (``core/corr.py:46-99``).
 
@@ -350,12 +356,16 @@ def build_corr_pyramid(
     swap in an alternative builder; it must match
     :func:`build_corr_volume`'s signature.  With
     ``materialize_pyramid=False`` only level 0 is kept (for the fused Pallas
-    lookup, which pools in-kernel).
+    lookup, which pools in-kernel).  ``zero_slab``: caller asserts ``disp``
+    is identically zero AND ``shift`` is set, i.e. the slab origin is
+    statically ``(n_hyp//2)*incre`` everywhere (true for the cascade's
+    stage 0) — builders may exploit this.
     """
     origin = slab_origin(jax.lax.stop_gradient(disp), n_hyp, incre, shift)
     fn = volume_fn or build_corr_volume
     corr = fn(fmaps, poses, intrinsics, ii, jj, origin, n_hyp, incre,
-              hyp_chunk, mean_over_views, gather_dtype)
+              hyp_chunk, mean_over_views, gather_dtype,
+              zero_slab=zero_slab and shift)
     levels = build_pyramid(corr, num_levels) if materialize_pyramid else [corr]
     return CorrPyramid(
         levels=levels,

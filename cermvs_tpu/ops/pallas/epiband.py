@@ -112,6 +112,66 @@ def _epiband_kernel(fr_ref, fs_ref, base_ref, sigma_ref, ones_ref, out_ref, *,
                                   precision=jax.lax.Precision.HIGHEST)
 
 
+def _epiband_kernel_static(fr_ref, fs_ref, sigma_ref, ones_ref, out_ref, *,
+                           D, s_max, ws, M, W_band, slices, xc, n_rows,
+                           n_chunks):
+    """Zero-base variant (stage 0: the hypothesis slab starts at inverse
+    depth 0 everywhere, so ``base == 0`` STATICALLY).
+
+    The k=0 sample position is ``p0 = x + s_max`` — integer and known per
+    lane — so instead of a dense ``(xc, ws)`` correlation plus a full-width
+    dynamic barrel roll, this computes G only on the per-chunk DIAGONAL BAND
+    ``fs[x0 + s_max - M + 2 : ... + W_band]`` (a static-size slice at a
+    grid-scalar offset) and aligns with rolls whose amounts are the lane
+    iota (max amount < xc + slack): ~4x less MXU work and ~1.5x fewer roll
+    stages on a ~2x narrower array than the dynamic kernel at bench shapes.
+    ``rel0 = M - 2`` exactly, and every window position is in-band by
+    construction (no validity mask).
+    """
+    x0 = pl.program_id(2) * xc
+    # k=0 position p0 = x + s_max; window column 0 sits at c = p0 - (M - 2).
+    # The fetched band starts at the 8-ALIGNED s_max - M offset (x0, s_max, M
+    # all 8-multiples — Mosaic must statically prove sublane-slice alignment)
+    # and the residual +2 rides in the roll amounts.
+    K8 = s_max - M
+    start = 8 * jnp.minimum((x0 + K8) // 8, (ws - W_band) // 8)
+    fr = fr_ref[0, 0]                              # (xc, C)
+    fs_band = fs_ref[0, 0, pl.ds(start, W_band), :]  # (W_band, C)
+    G = jax.lax.dot_general(
+        fr, fs_band, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=(jax.lax.Precision.HIGHEST if fr.dtype == jnp.float32
+                   else jax.lax.Precision.DEFAULT))  # (xc, W_band)
+
+    # align: aligned[x, m] = G[x, (x0 + K8 + 2 + x_local) - start + m]
+    amt = (jax.lax.broadcasted_iota(jnp.int32, (xc, 1), 0)
+           + (x0 + K8 + 2 - start))                # (xc, 1) in [0, max_amt]
+    max_amt = (xc + 1
+               + max(0, (n_chunks - 1) * xc + K8 + W_band - ws))
+    nbits = max(1, math.ceil(math.log2(max_amt + 1)))
+    for b in range(nbits):
+        a = 1 << b
+        bit = (amt & a) > 0
+        G = jnp.where(bit, pltpu.roll(G, W_band - (a % W_band), axis=1), G)
+    aligned = G[:, :M]                             # (xc, M)
+
+    r = ((pl.program_id(0) * n_rows + pl.program_id(1)) * n_chunks
+         + pl.program_id(2))
+    sigma = sigma_ref[pl.ds(r % 8, 1), :].reshape(xc, 1)
+    pieces = []
+    for k in range(D):
+        u0, u1 = slices[k]
+        rel = float(M - 2) - float(k) * sigma      # (xc, 1)
+        m = (jax.lax.broadcasted_iota(jnp.int32, (1, u1 - u0), 1)
+             .astype(jnp.float32) + float(u0))
+        wgt = jnp.maximum(1.0 - jnp.abs(m - rel), 0.0)
+        pieces.append(aligned[:, u0:u1] * wgt)
+    prod = jnp.concatenate(pieces, axis=1)
+    out_ref[0, 0, :, :] = jnp.dot(prod, ones_ref[:, :],
+                                  preferred_element_type=jnp.float32,
+                                  precision=jax.lax.Precision.HIGHEST)
+
+
 def _window_and_slices(D, sigma_lo, sigma_hi):
     """Static window size M and per-k lane slices from scene rate bounds."""
     M = int(math.ceil(max((D - 1) * sigma_hi, 0.0))) + 4
@@ -138,12 +198,17 @@ def epiband_resample(
     sigma_hi: float = None,
     interpret: bool = False,
     xc: int = None,
+    static_base: bool = False,
 ) -> jnp.ndarray:
     """(V, h_r, w_r, D) fp32 rect-grid cost volume.
 
     ``sigma_lo/sigma_hi``: static bounds on ``sigma`` values (scene rate
     bounds x incre).  When ``sigma_hi`` is None the select windows span the
     whole hypothesis band (correct for any sigma, slower).
+
+    ``static_base=True`` asserts ``base == 0`` everywhere (stage-0 slabs
+    start at inverse depth 0) and switches to the diagonal-band kernel
+    (:func:`_epiband_kernel_static`): ~4x less MXU and ~3x less roll work.
     """
     V, h_r, w_r, C = fr_rect.shape
     ws = fs_rect.shape[2]
@@ -175,34 +240,51 @@ def epiband_resample(
     cells_pad = -(-cells // 8) * 8
     flat = lambda a: jnp.pad(
         a.reshape(cells, xc), ((0, cells_pad - cells), (0, 0)))
-    base2 = flat(base)
     sigma2 = flat(sigma)
 
     def _cell_index(v, y, x):
         return (((v * h_r + y) * n_chunks + x) // 8, 0)
 
-    kern = functools.partial(
-        _epiband_kernel, D=n_hyp, s_max=s_max, ws=ws, M=M, slices=slices,
-        xc=xc, n_rows=h_r, n_chunks=n_chunks)
-    out = pl.pallas_call(
-        kern,
-        grid=(V, h_r, w_r // xc),
-        in_specs=[
-            pl.BlockSpec((1, 1, xc, C), lambda v, y, x: (v, y, x, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, ws, C), lambda v, y, x: (v, y, 0, 0),
-                         memory_space=pltpu.VMEM),
-            # base/sigma: flattened cell rows, 8-sublane blocks (no trailing
-            # size-1 dims anywhere — XLA pads small lane dims 128x)
-            pl.BlockSpec((8, xc), _cell_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, xc), _cell_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((total, Dp), lambda v, y, x: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 1, xc, Dp),
-                               lambda v, y, x: (v, y, x, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((V, h_r, w_r, Dp), jnp.float32),
-        interpret=interpret,
-    )(fr_rect, fs_rect, base2, sigma2, ones)
+    fr_spec = pl.BlockSpec((1, 1, xc, C), lambda v, y, x: (v, y, x, 0),
+                           memory_space=pltpu.VMEM)
+    fs_spec = pl.BlockSpec((1, 1, ws, C), lambda v, y, x: (v, y, 0, 0),
+                           memory_space=pltpu.VMEM)
+    # sigma (and base): flattened cell rows, 8-sublane blocks (no trailing
+    # size-1 dims anywhere — XLA pads small lane dims 128x)
+    row_spec = pl.BlockSpec((8, xc), _cell_index, memory_space=pltpu.VMEM)
+    ones_spec = pl.BlockSpec((total, Dp), lambda v, y, x: (0, 0),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, 1, xc, Dp), lambda v, y, x: (v, y, x, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((V, h_r, w_r, Dp), jnp.float32)
+
+    if static_base:
+        assert ws >= xc + M + 8 and ws % 8 == 0, (ws, xc, M)
+        # band must cover [s_max - M .. x + s_max + 2] per chunk (the +2
+        # window residual folded out of the 8-aligned start)
+        W_band = min(-(-(xc + M + 8) // 128) * 128, ws)
+        kern = functools.partial(
+            _epiband_kernel_static, D=n_hyp, s_max=s_max, ws=ws, M=M,
+            W_band=W_band, slices=slices, xc=xc, n_rows=h_r,
+            n_chunks=n_chunks)
+        out = pl.pallas_call(
+            kern,
+            grid=(V, h_r, n_chunks),
+            in_specs=[fr_spec, fs_spec, row_spec, ones_spec],
+            out_specs=out_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(fr_rect, fs_rect, sigma2, ones)
+    else:
+        kern = functools.partial(
+            _epiband_kernel, D=n_hyp, s_max=s_max, ws=ws, M=M, slices=slices,
+            xc=xc, n_rows=h_r, n_chunks=n_chunks)
+        out = pl.pallas_call(
+            kern,
+            grid=(V, h_r, n_chunks),
+            in_specs=[fr_spec, fs_spec, row_spec, row_spec, ones_spec],
+            out_specs=out_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(fr_rect, fs_rect, flat(base), sigma2, ones)
     return out[..., :n_hyp] if Dp != n_hyp else out

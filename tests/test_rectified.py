@@ -270,6 +270,27 @@ class TestEpibandKernel:
     def test_narrow_sigma_stage1(self, rng):
         self._check(rng, sigma_rng=(0.4, 0.7), base_rng=(-10.0, 70.0), D=16)
 
+    @pytest.mark.parametrize("D,sigma_rng", [(8, (1.0, 3.0)),
+                                             (16, (0.4, 0.7))])
+    def test_static_base_matches_oracle(self, rng, D, sigma_rng):
+        # stage-0 kernel: base == 0 statically -> diagonal-band variant
+        from cermvs_tpu.ops.corr_rectified import _resample_rows_oracle
+        from cermvs_tpu.ops.pallas.epiband import epiband_resample
+        V, h_r, w_r, ws, C = 2, 8, 128, 224, 8
+        s_max = ws - w_r - 16
+        fr = jnp.asarray(rng.randn(V, h_r, w_r, C).astype(np.float32))
+        fs = jnp.asarray(rng.randn(V, h_r, ws, C).astype(np.float32))
+        base = jnp.zeros((V, h_r, w_r), jnp.float32)
+        sigma = jnp.asarray(
+            rng.uniform(*sigma_rng, (V, h_r, w_r)).astype(np.float32))
+        ref = jax.vmap(lambda a, b, c, d: _resample_rows_oracle(
+            a, b, c, d, D, s_max))(fr, fs, base, sigma)
+        out = epiband_resample(
+            fr, fs, base, sigma, D, s_max,
+            sigma_lo=sigma_rng[0], sigma_hi=sigma_rng[1], static_base=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-3)
+
 
 class TestInferenceRunnerIntegration:
     """construction="auto"/"rectified" through the inference driver."""
