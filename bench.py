@@ -14,13 +14,12 @@ class hardware for this configuration) as the comparison point; vs_baseline =
 ours / 0.5.
 
 Camera geometry mirrors the DTU rig (cameras on a ~600 mm sphere looking at
-the object — mostly-lateral pairwise baselines), so ``--construction
-rectified``/``auto`` exercise the rectified construction (fast path when the
-host planner accepts the scene, exact otherwise).  The default is ``exact``:
-the rectified path currently measures SLOWER end-to-end on this scene
-(0.69 vs 1.02 maps/s — scene-wide static select windows inflated ~2.5x by
-the 5x per-view baseline spread; see ROADMAP.md) and stays opt-in until it
-wins.
+the object — mostly-lateral pairwise baselines), so the default
+``--construction auto`` exercises the rectified construction (fast path when
+the host planner accepts the scene, exact otherwise; ``--construction
+exact`` forces the gather-based path).  Measured on this scene: rectified
+1.47 maps/s vs exact 1.02 (stage-shared rectification features, zero-slab
+stage-0 diagonal-band kernel, bf16 segment sums — see BENCH_NOTES.md).
 """
 
 import json
@@ -64,7 +63,7 @@ def main():
     from cermvs_tpu.models.raft import RAFT
 
     small = "--small" in sys.argv
-    construction = "exact"
+    construction = "auto"
     if "--construction" in sys.argv:
         construction = sys.argv[sys.argv.index("--construction") + 1]
     h, w, n = (256, 320, 4) if small else (H, W, NUM_FRAMES + 1)

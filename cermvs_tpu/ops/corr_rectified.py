@@ -52,6 +52,40 @@ def _resample_rows_oracle(fr_rect, fs_rect, base, sigma, n_hyp, s_max):
     return interp1d(G, idx)
 
 
+def rect_features(fmaps, poses, intrinsics, ii, jj, plan, feature_dtype):
+    """Pose-dependent, stage-INDEPENDENT rectification work: the rect
+    geometry and the per-view warped (ref, src) feature rows.
+
+    Both cascade stages warp the SAME features through the SAME geometry
+    (only base/sigma/D differ), so callers building several volumes from one
+    feature set should compute this once and pass it via ``rect_ctx``
+    (``make_rectified_volume_fn`` does so automatically).  XLA's CSE only
+    recovers part of this duplication (benchmarks/profile_rect_cse.py:
+    330 + 419 -> 653 ms for the two DTU stages in one jit).
+    """
+    B, N, h, w, C = fmaps.shape
+    V = int(jj.shape[0])
+    geo = rectify.rect_geometry(poses, intrinsics, ii, jj, h, w, plan)
+
+    f = fmaps.astype(jnp.float32) / 8.0  # core/corr.py:30-31 scaling
+    f_ref = f[0, 0].astype(feature_dtype)
+    f_src = jnp.take(f[0], jj, axis=0).astype(feature_dtype)  # (V, h, w, C)
+
+    rrx, rry = geo["ref_ref_xy"]
+    rsx, rsy = geo["ref_src_xy"]
+    warped = []
+    for v in range(V):
+        _, _, s_max_v = plan.view_params(v)
+        col0 = plan.s_max - s_max_v  # src band: columns [col0, ws_r)
+        fr_rect = rectify.warp_image(
+            f_ref, rrx[v], rry[v]).astype(feature_dtype)
+        fs_rect = rectify.warp_image(
+            f_src[v], rsx[v, :, col0:], rsy[v, :, col0:]).astype(
+                feature_dtype)
+        warped.append((fr_rect, fs_rect))
+    return geo, warped
+
+
 def build_corr_volume_rectified(
     fmaps: jnp.ndarray,
     poses: jnp.ndarray,
@@ -65,6 +99,8 @@ def build_corr_volume_rectified(
     mean_over_views: bool = False,
     gather_dtype=None,
     impl: str = "pallas",
+    zero_slab: bool = False,
+    rect_ctx=None,
 ) -> jnp.ndarray:
     """Drop-in construction (signature parity with ``corr.build_corr_volume``
     modulo the static ``plan``/``impl``): returns (1, 1, h, w, D) when
@@ -81,28 +117,26 @@ def build_corr_volume_rectified(
     V = int(jj.shape[0])
     feature_dtype = gather_dtype or fmaps.dtype
     assert B == 1, "rectified construction supports batch size 1"
-    geo = rectify.rect_geometry(poses, intrinsics, ii, jj, h, w, plan)
-
-    f = fmaps.astype(jnp.float32) / 8.0  # core/corr.py:30-31 scaling
-    f_ref = f[0, 0].astype(feature_dtype)
-    f_src = jnp.take(f[0], jj, axis=0).astype(feature_dtype)  # (V, h, w, C)
+    if rect_ctx is None:
+        rect_ctx = rect_features(
+            fmaps, poses, intrinsics, ii, jj, plan, feature_dtype)
+    geo, warped = rect_ctx
     org = origin[0, 0][..., None]  # (h, w, 1)
 
     rrx, rry = geo["ref_ref_xy"]
-    rsx, rsy = geo["ref_src_xy"]
     fwx, fwy = geo["fwd_xy"]
 
     def one_view(v):
         rate_lo, rate_hi, s_max_v = plan.view_params(v)
-        col0 = plan.s_max - s_max_v  # src band: columns [col0, ws_r)
-        fr_rect = rectify.warp_image(
-            f_ref, rrx[v], rry[v]).astype(feature_dtype)
-        fs_rect = rectify.warp_image(
-            f_src[v], rsx[v, :, col0:], rsy[v, :, col0:]).astype(
-                feature_dtype)
-        origin_rect = rectify.warp_image(
-            org, rrx[v], rry[v], mode="clamp")[..., 0]
-        base = geo["rate"][v] * (origin_rect - (n_hyp // 2) * incre)
+        fr_rect, fs_rect = warped[v]
+        if zero_slab:
+            # stage 0: origin == (D//2)*incre everywhere -> base == 0; skip
+            # the origin warp and use the static diagonal-band kernel
+            base = jnp.zeros((plan.h_r, plan.w_r), jnp.float32)
+        else:
+            origin_rect = rectify.warp_image(
+                org, rrx[v], rry[v], mode="clamp")[..., 0]
+            base = geo["rate"][v] * (origin_rect - (n_hyp // 2) * incre)
         sigma = geo["rate"][v] * incre
         if impl == "pallas":
             from cermvs_tpu.ops.pallas.epiband import epiband_resample
@@ -112,11 +146,15 @@ def build_corr_volume_rectified(
                 fr_rect[None], fs_rect[None], base[None], sigma[None],
                 n_hyp, s_max_v,
                 sigma_lo=max(rate_lo * incre, 0.0),
-                sigma_hi=sigma_hi)[0]
+                sigma_hi=sigma_hi, static_base=zero_slab)[0]
         else:
             vol_rect = _resample_rows_oracle(
                 fr_rect, fs_rect, base, sigma, n_hyp, s_max_v)
-        return rectify.warp_image(vol_rect, fwx[v], fwy[v])  # (h, w, D) fp32
+        # back-warp taps gather in the volume's dtype: bf16 halves the
+        # dominant HBM read traffic of this bilinear warp; the 4-tap lerp
+        # still accumulates fp32 (same policy as the feature gathers)
+        return rectify.warp_image(
+            vol_rect.astype(feature_dtype), fwx[v], fwy[v])  # (h, w, D) fp32
 
     if mean_over_views:
         vol = one_view(0)
@@ -133,14 +171,31 @@ def make_rectified_volume_fn(plan: RectPlan, impl: str = "pallas"):
     ``plan`` carries the static grid sizes (host-side, per scene); all pose-
     dependent values stay traced, so one compiled graph serves every scene
     bucketing to the same plan.
+
+    The closure shares :func:`rect_features` across cascade stages with a
+    one-entry cache keyed by the IDENTITY of the input arrays: within one
+    trace the model passes the same ``fmaps``/``poses`` objects to every
+    stage, so the second stage reuses the first's traced warp subgraph
+    (strong refs keep the keyed objects alive, so ids cannot be recycled;
+    a new trace passes fresh tracers and misses).
     """
+    cache = {"key": None, "refs": None, "ctx": None}
 
     def volume_fn(fmaps, poses, intrinsics, ii, jj, origin, n_hyp, incre,
-                  hyp_chunk=16, mean_over_views=False, gather_dtype=None):
+                  hyp_chunk=16, mean_over_views=False, gather_dtype=None,
+                  zero_slab=False):
         del hyp_chunk  # memory is governed by the kernel's own tiling
+        feature_dtype = gather_dtype or fmaps.dtype
+        key = (id(fmaps), id(poses), id(intrinsics), id(ii), id(jj),
+               jnp.dtype(feature_dtype).name)
+        if cache["key"] != key:
+            cache["ctx"] = rect_features(
+                fmaps, poses, intrinsics, ii, jj, plan, feature_dtype)
+            cache["refs"] = (fmaps, poses, intrinsics, ii, jj)
+            cache["key"] = key
         return build_corr_volume_rectified(
             fmaps, poses, intrinsics, ii, jj, origin, n_hyp, incre, plan,
             mean_over_views=mean_over_views, gather_dtype=gather_dtype,
-            impl=impl)
+            impl=impl, zero_slab=zero_slab, rect_ctx=cache["ctx"])
 
     return volume_fn

@@ -75,14 +75,30 @@ def _epiband_kernel(fr_ref, fs_ref, base_ref, sigma_ref, ones_ref, out_ref, *,
     c = jnp.clip(c, -M, ws - 1)            # lower clamp only for pixels whose
     rel0 = p0 - c.astype(jnp.float32)      # entire slab is out of band
 
-    # barrel alignment: aligned[x, m] = G[x, (c(x) + m) mod ws]
+    # barrel alignment: aligned[x, m] = G[x, (c(x) + m) mod ws], two-level.
+    # Split the left-rotate amount c = 128q + r: the q bits roll the FULL
+    # width (~log2(ws/128) stages), then a static slice to Wn = M + 128
+    # lanes carries the residual r < 128 (7 stages on the narrow array);
+    # the residual never wraps (r + m < Wn for m < M), so this equals the
+    # single full-width ladder.  (Measured: the whole ladder is ~1 ms of a
+    # 22 ms view — the kernel is bound by the hat/segment-sum stage, not
+    # alignment; see benchmarks/profile_epiband4.py.)
     cpos = jnp.where(c < 0, c + ws, c)     # left-rotate amount in [0, ws)
-    nbits = max(1, math.ceil(math.log2(ws)))
-    for b in range(nbits):
-        amt = 1 << b
+    for b in range(max(1, math.ceil(math.log2(-(-ws // 128))))):
+        amt = 128 << b
+        if amt >= ws:
+            break
         bit = (cpos & amt) > 0             # (XC, 1) bool
-        G = jnp.where(bit, pltpu.roll(G, ws - (amt % ws), axis=1), G)
-    aligned = G[:, :M]                     # (XC, M)
+        G = jnp.where(bit, pltpu.roll(G, ws - amt, axis=1), G)
+    Wn = min(M + 128, ws)
+    Gn = G[:, :Wn]
+    for b in range(7):
+        amt = 1 << b
+        if amt >= ws:
+            break
+        bit = (cpos & amt) > 0
+        Gn = jnp.where(bit, pltpu.roll(Gn, Wn - amt, axis=1), Gn)
+    aligned = Gn[:, :M]                    # (XC, M)
 
     # validity of window column m: 0 <= c + m <= ws - 1 (excludes wrap-around
     # and the out-of-band zero-padding semantics of interp1d)
@@ -104,12 +120,30 @@ def _epiband_kernel(fr_ref, fs_ref, base_ref, sigma_ref, ones_ref, out_ref, *,
         wgt = jnp.maximum(1.0 - jnp.abs(m - rel), 0.0)
         pieces.append(av[:, u0:u1] * wgt)
     prod = jnp.concatenate(pieces, axis=1)  # (XC, sum(widths))
-    # HIGHEST precision: the default TPU matmul truncates the fp32 products
-    # to bf16 before summing (verified on-chip) — the segment sum must be
-    # exact to preserve interp1d parity
-    out_ref[0, 0, :, :] = jnp.dot(prod, ones_ref[:, :],
-                                  preferred_element_type=jnp.float32,
-                                  precision=jax.lax.Precision.HIGHEST)
+    out_ref[0, 0, :, :] = _segment_sum(prod, ones_ref)
+
+
+def _segment_sum(prod, ones_ref):
+    """Per-window reduction as ONE matmul against a static block-ones segment
+    matrix — Mosaic lane reductions per k measured ~7x slower.
+
+    Precision follows the ones buffer's dtype (epiband_resample keys it on
+    the feature dtype): fp32 ones => HIGHEST (the default TPU matmul
+    truncates fp32 operands to bf16 passes — verified on-chip — which breaks
+    interp1d parity for fp32 inputs); bf16 ones => round the products and
+    take the single-pass matmul (fp32 accumulate).  The fp32-HIGHEST segment
+    sum is otherwise THE dominant kernel cost (6 MXU passes; 22.4 -> 13.7 ms
+    per view at DEFAULT, benchmarks/profile_epiband4.py) — with bf16
+    features the products already carry bf16-level noise, so the bf16 path
+    costs no additional accuracy class.
+    """
+    if ones_ref.dtype == jnp.float32:
+        return jnp.dot(prod, ones_ref[:, :],
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    return jnp.dot(prod.astype(ones_ref.dtype), ones_ref[:, :],
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.DEFAULT)
 
 
 def _epiband_kernel_static(fr_ref, fs_ref, sigma_ref, ones_ref, out_ref, *,
@@ -167,9 +201,7 @@ def _epiband_kernel_static(fr_ref, fs_ref, sigma_ref, ones_ref, out_ref, *,
         wgt = jnp.maximum(1.0 - jnp.abs(m - rel), 0.0)
         pieces.append(aligned[:, u0:u1] * wgt)
     prod = jnp.concatenate(pieces, axis=1)
-    out_ref[0, 0, :, :] = jnp.dot(prod, ones_ref[:, :],
-                                  preferred_element_type=jnp.float32,
-                                  precision=jax.lax.Precision.HIGHEST)
+    out_ref[0, 0, :, :] = _segment_sum(prod, ones_ref)
 
 
 def _window_and_slices(D, sigma_lo, sigma_hi):
@@ -232,8 +264,12 @@ def epiband_resample(
     widths = [u1 - u0 for (u0, u1) in slices]
     total = sum(widths)
     seg = np.repeat(np.arange(n_hyp), widths)
+    # the segment matrix's dtype selects the in-kernel reduction precision
+    # (see _segment_sum): bf16 features => single-pass bf16 matmul
+    seg_dtype = (np.float32 if fr_rect.dtype == jnp.float32 else jnp.bfloat16)
     ones = jnp.asarray(
-        (seg[:, None] == np.arange(Dp)[None, :]).astype(np.float32))
+        (seg[:, None] == np.arange(Dp)[None, :]).astype(np.float32)).astype(
+            seg_dtype)
 
     n_chunks = w_r // xc
     cells = V * h_r * n_chunks

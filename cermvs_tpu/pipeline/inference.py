@@ -33,7 +33,7 @@ class InferenceRunner:
     across chips.
     """
 
-    def __init__(self, params, model=None, mesh=None, construction="exact",
+    def __init__(self, params, model=None, mesh=None, construction="auto",
                  rect_lambda_max: float = 0.00375, **model_kwargs):
         import jax
         from cermvs_tpu.models.raft import RAFT
@@ -123,6 +123,8 @@ class InferenceRunner:
         poses = np.asarray(poses, np.float32)
         intrinsics = np.asarray(intrinsics, np.float32)
         model, key = None, None
+        # rectified construction requires B==1 (one ref view per forward) and
+        # an unsharded model: view_batch>1 / mesh runs use the exact path
         if (self.construction in ("rectified", "auto")
                 and images.shape[0] == 1 and self.mesh is None):
             # canonicalize neighbor order by baseline: view aggregation is
@@ -175,7 +177,7 @@ def inference(
     model_kwargs: Optional[dict] = None,
     mesh=None,
     view_batch: int = 1,
-    construction: str = "exact",
+    construction: str = "auto",
 ):
     # NOTE view_batch > 1 amortizes fixed costs for SMALL scenes; at
     # production sizes it increases HBM pressure and measured 2.7x SLOWER

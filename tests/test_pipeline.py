@@ -120,7 +120,10 @@ def test_inference_view_batched(tmp_path):
     params = model.init(jax.random.PRNGKey(0), jnp.asarray(sample[0])[None],
                         jnp.asarray(sample[1])[None],
                         jnp.asarray(sample[2])[None], jnp.ones(1))
-    kw = dict(rescale=1, params=params,
+    # pin the construction: view_batch>1 always uses the exact path (the
+    # rectified planner requires B==1), so under "auto" the batched and
+    # unbatched runs would compare DIFFERENT constructions (~1e-5 apart)
+    kw = dict(rescale=1, params=params, construction="exact",
               model_kwargs=dict(cascade=((4, 64, 1),), hyp_chunk=4,
                                 dtype=jnp.float32))
     inference(DataLoader(scene, batch_size=None, num_workers=0),

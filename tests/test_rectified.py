@@ -270,6 +270,28 @@ class TestEpibandKernel:
     def test_narrow_sigma_stage1(self, rng):
         self._check(rng, sigma_rng=(0.4, 0.7), base_rng=(-10.0, 70.0), D=16)
 
+    def test_bf16_features_tolerance(self, rng):
+        # bf16 features select the single-pass bf16 segment sum; results
+        # agree with the fp32 oracle to bf16 relative precision
+        from cermvs_tpu.ops.corr_rectified import _resample_rows_oracle
+        from cermvs_tpu.ops.pallas.epiband import epiband_resample
+        V, h_r, w_r, ws, C, D = 1, 8, 128, 256, 8, 8
+        s_max = 64
+        fr = jnp.asarray(rng.randn(V, h_r, w_r, C).astype(np.float32))
+        fs = jnp.asarray(rng.randn(V, h_r, ws, C).astype(np.float32))
+        base = jnp.asarray(
+            rng.uniform(-10.0, 40.0, (V, h_r, w_r)).astype(np.float32))
+        sigma = jnp.asarray(
+            rng.uniform(1.0, 3.0, (V, h_r, w_r)).astype(np.float32))
+        ref = jax.vmap(lambda a, b, c, d: _resample_rows_oracle(
+            a, b, c, d, D, s_max))(fr, fs, base, sigma)
+        out = epiband_resample(
+            fr.astype(jnp.bfloat16), fs.astype(jnp.bfloat16), base, sigma,
+            D, s_max, sigma_lo=1.0, sigma_hi=3.0)
+        # bf16 features + bf16 window sums on |G| ~ sqrt(C) correlations
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=0.05, atol=0.2)
+
     @pytest.mark.parametrize("D,sigma_rng", [(8, (1.0, 3.0)),
                                              (16, (0.4, 0.7))])
     def test_static_base_matches_oracle(self, rng, D, sigma_rng):
