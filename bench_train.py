@@ -8,6 +8,11 @@ Prints one JSON line {metric, value, unit, vs_baseline} with
 vs_baseline = our steps/s/chip / 0.21.
 
 Usage: python bench_train.py [--small] [--batch N] [--crop H W]
+                             [--construction exact|rectified]
+
+``--construction rectified`` trains through the rectified epiband kernels
+(custom VJP; ops/pallas/epiband.py) with a plan_union covering the batch —
+the construction fwd+bwd is ~70% of the exact-path step.
 """
 
 import json
@@ -40,10 +45,13 @@ def main():
     rng = np.random.RandomState(0)
     K = np.array([[2892.0 * W / 1600, 0, W / 2], [0, 2892.0 * W / 1600, H / 2],
                   [0, 0, 1]], np.float32)
-    poses = np.tile(np.eye(4, dtype=np.float32), (batch, N, 1, 1))
-    rs = np.random.RandomState(1)
-    for i in range(1, N):
-        poses[:, i, :3, 3] = rs.randn(3) * 20.0
+    # DTU-rig camera sphere (same generator as bench.py) — representative
+    # lateral-dominant baselines; the gather-based exact construction's cost
+    # is pose-independent (same sample count), so this scene serves both
+    # construction modes
+    from bench import dtu_ring_poses
+    poses = np.stack([dtu_ring_poses(N, np.random.RandomState(1 + b))
+                      for b in range(batch)])
     batch_data = {
         "images": jnp.asarray((rng.rand(batch, N, H, W, 3) * 255).astype(np.float32)),
         "depths": jnp.asarray((rng.rand(batch, N, H, W) * 400 + 400).astype(np.float32)),
@@ -51,7 +59,26 @@ def main():
         "intrinsics": jnp.asarray(np.tile(K, (batch, N, 1, 1))),
     }
 
-    model = RAFT(hyp_chunk=8)
+    construction = "exact"
+    if "--construction" in argv:
+        construction = argv[argv.index("--construction") + 1]
+    model_kw = {}
+    if construction == "rectified":
+        from cermvs_tpu.ops.corr_rectified import make_rectified_volume_fn
+        from cermvs_tpu.ops.rectify import plan_rectification, plan_union
+
+        K4 = np.tile(K, (N, 1, 1)).copy()
+        K4[:, :2] /= 4.0
+        plans = [plan_rectification(poses[b], K4, H // 4, W // 4)
+                 for b in range(batch)]
+        plan = plan_union(plans)
+        if not plan.ok:
+            raise RuntimeError(f"rectified plan rejected: {plan.reason}")
+        print(f"plan: {plan.h_r}x{plan.w_r} s_max={plan.s_max}",
+              file=sys.stderr)
+        model_kw["volume_fn"] = make_rectified_volume_fn(plan)
+
+    model = RAFT(hyp_chunk=8, **model_kw)
     tx, _ = fetch_optimizer(num_steps=1000)
     state = init_state(model, tx, jax.random.PRNGKey(0), batch_data)
     step = make_train_step(model, tx, donate=False)
@@ -67,8 +94,9 @@ def main():
     dt = (time.perf_counter() - t0) / iters
 
     sps = 1.0 / dt
+    tag = "" if construction == "exact" else f" {construction}"
     print(json.dumps({
-        "metric": f"train steps/s/chip (DTU {H}x{W} b{batch} nf{N-1})",
+        "metric": f"train steps/s/chip (DTU {H}x{W} b{batch} nf{N-1}{tag})",
         "value": round(sps, 4),
         "unit": "steps/s",
         "vs_baseline": round(sps / BASELINE_STEPS_PER_SEC_PER_CHIP, 3),

@@ -164,6 +164,30 @@ def build_corr_volume_rectified(
     return jnp.stack([one_view(v) for v in range(V)])[None]
 
 
+def build_corr_volume_rectified_batched(
+    fmaps, poses, intrinsics, ii, jj, origin, n_hyp, incre, plan,
+    mean_over_views=False, gather_dtype=None, impl="pallas",
+    zero_slab=False, rect_ctxs=None,
+):
+    """Batch-B wrapper over the B==1 builder (training batches).
+
+    ``plan`` must COVER every sample (:func:`cermvs_tpu.ops.rectify.plan_union`
+    of the per-sample plans); per-sample rect geometry stays dynamic, so one
+    compiled graph serves every batch bucketing to the same union plan.
+    ``rect_ctxs``: optional list of per-sample shared contexts.
+    """
+    B = fmaps.shape[0]
+    vols = []
+    for b in range(B):
+        vols.append(build_corr_volume_rectified(
+            fmaps[b:b + 1], poses[b:b + 1], intrinsics[b:b + 1], ii, jj,
+            origin[b:b + 1], n_hyp, incre, plan,
+            mean_over_views=mean_over_views, gather_dtype=gather_dtype,
+            impl=impl, zero_slab=zero_slab,
+            rect_ctx=rect_ctxs[b] if rect_ctxs else None))
+    return jnp.concatenate(vols, axis=0)
+
+
 def make_rectified_volume_fn(plan: RectPlan, impl: str = "pallas"):
     """Closure matching ``corr.build_corr_volume``'s signature, for
     ``RAFT(volume_fn=...)`` / ``build_corr_pyramid(volume_fn=...)``.
@@ -178,24 +202,37 @@ def make_rectified_volume_fn(plan: RectPlan, impl: str = "pallas"):
     stage, so the second stage reuses the first's traced warp subgraph
     (strong refs keep the keyed objects alive, so ids cannot be recycled;
     a new trace passes fresh tracers and misses).
+
+    Batches (B > 1, training): the plan must be a
+    :func:`cermvs_tpu.ops.rectify.plan_union` over the samples; the builder
+    loops samples with the shared per-sample contexts.
     """
-    cache = {"key": None, "refs": None, "ctx": None}
+    cache = {"key": None, "refs": None, "ctxs": None}
 
     def volume_fn(fmaps, poses, intrinsics, ii, jj, origin, n_hyp, incre,
                   hyp_chunk=16, mean_over_views=False, gather_dtype=None,
                   zero_slab=False):
         del hyp_chunk  # memory is governed by the kernel's own tiling
         feature_dtype = gather_dtype or fmaps.dtype
+        B = fmaps.shape[0]
         key = (id(fmaps), id(poses), id(intrinsics), id(ii), id(jj),
                jnp.dtype(feature_dtype).name)
         if cache["key"] != key:
-            cache["ctx"] = rect_features(
-                fmaps, poses, intrinsics, ii, jj, plan, feature_dtype)
+            cache["ctxs"] = [
+                rect_features(fmaps[b:b + 1], poses[b:b + 1],
+                              intrinsics[b:b + 1], ii, jj, plan,
+                              feature_dtype)
+                for b in range(B)]
             cache["refs"] = (fmaps, poses, intrinsics, ii, jj)
             cache["key"] = key
-        return build_corr_volume_rectified(
+        if B == 1:
+            return build_corr_volume_rectified(
+                fmaps, poses, intrinsics, ii, jj, origin, n_hyp, incre, plan,
+                mean_over_views=mean_over_views, gather_dtype=gather_dtype,
+                impl=impl, zero_slab=zero_slab, rect_ctx=cache["ctxs"][0])
+        return build_corr_volume_rectified_batched(
             fmaps, poses, intrinsics, ii, jj, origin, n_hyp, incre, plan,
             mean_over_views=mean_over_views, gather_dtype=gather_dtype,
-            impl=impl, zero_slab=zero_slab, rect_ctx=cache["ctx"])
+            impl=impl, zero_slab=zero_slab, rect_ctxs=cache["ctxs"])
 
     return volume_fn

@@ -23,8 +23,15 @@ with ``G`` never leaving VMEM.  The interpolation is gather-free:
    outside the physical band get zero via validity masks, matching
    ``sampling.interp1d`` (and the reference's zero out-of-bounds corners).
 
-Forward-only: the rectified path is an inference fast path (training uses the
-exact differentiable builder, ops/corr.py).
+Differentiable: ``epiband_resample`` carries a custom VJP (Pallas backward
+kernels) w.r.t. the FEATURES only — ``base``/``sigma`` (the sample
+coordinates) get zero gradient, matching the reference CUDA backward which
+allocates but never writes ``coords_grad``
+(``correlation_kernel.cu:307,323``).  The backward reuses the forward's
+structure in reverse: expand d_out to hat-window space (one MXU matmul
+against the transposed segment matrix), weight, inverse barrel-rotate, then
+``dfr = dG @ fs`` and ``dfs = dG^T @ fr`` with dfs accumulated across
+x-chunks by revisiting its (view, row) output block.
 """
 
 from __future__ import annotations
@@ -219,6 +226,119 @@ def _window_and_slices(D, sigma_lo, sigma_hi):
     return M, slices
 
 
+def _setup(fr_rect, fs_rect, n_hyp, s_max, sigma_lo, sigma_hi, interpret,
+           xc, static_base):
+    """Static configuration shared by the forward and backward pallas calls."""
+    V, h_r, w_r, C = fr_rect.shape
+    ws = fs_rect.shape[2]
+    xc = xc or XC
+    assert w_r % xc == 0, (w_r, xc)
+    if jax.default_backend() == "cpu":
+        interpret = True  # pallas has no CPU backend; tests run interpreted
+    M, slices = _window_and_slices(n_hyp, sigma_lo, sigma_hi)
+    M = min(M, ws)
+    slices = [(min(u0, M - 1), min(u1, M)) for (u0, u1) in slices]
+
+    # pad the hypothesis (output lane) axis to a multiple of 64: unaligned
+    # lane counts (e.g. the cascade's D=44 stage) cost masked stores
+    Dp = -(-n_hyp // 64) * 64
+
+    # static segment-sum matrix: lane j of the concatenated products belongs
+    # to hypothesis seg(j) — ones[j, k] = 1 iff seg(j) == k
+    widths = [u1 - u0 for (u0, u1) in slices]
+    total = sum(widths)
+    seg = np.repeat(np.arange(n_hyp), widths)
+    # the segment matrix's dtype selects the in-kernel reduction precision
+    # (see _segment_sum): bf16 features => single-pass bf16 matmul
+    seg_dtype = (np.float32 if fr_rect.dtype == jnp.float32 else jnp.bfloat16)
+    ones = jnp.asarray(
+        (seg[:, None] == np.arange(Dp)[None, :]).astype(np.float32)).astype(
+            seg_dtype)
+
+    # backward-only static maps: k(j)/m(j) per concatenated-window lane j
+    # (kv rows 0/1) and the window-column scatter matrix sm[j, m] = 1 iff
+    # m(j) == m (columns padded to a lane multiple)
+    m_of_j = np.concatenate(
+        [np.arange(u0, u1) for (u0, u1) in slices]) if total else np.zeros(
+            0, np.int64)
+    kv = np.zeros((8, total), np.float32)
+    kv[0] = seg.astype(np.float32)
+    kv[1] = m_of_j.astype(np.float32)
+    kv = jnp.asarray(kv)
+    Mp = -(-M // 128) * 128
+    sm = jnp.asarray(
+        (m_of_j[:, None] == np.arange(Mp)[None, :]).astype(np.float32)
+    ).astype(seg_dtype)
+
+    n_chunks = w_r // xc
+    cells = V * h_r * n_chunks
+    cells_pad = -(-cells // 8) * 8
+    flat = lambda a: jnp.pad(
+        a.reshape(cells, xc), ((0, cells_pad - cells), (0, 0)))
+
+    def _cell_index(v, y, x):
+        return (((v * h_r + y) * n_chunks + x) // 8, 0)
+
+    specs = {
+        "fr": pl.BlockSpec((1, 1, xc, C), lambda v, y, x: (v, y, x, 0),
+                           memory_space=pltpu.VMEM),
+        "fs": pl.BlockSpec((1, 1, ws, C), lambda v, y, x: (v, y, 0, 0),
+                           memory_space=pltpu.VMEM),
+        # sigma (and base): flattened cell rows, 8-sublane blocks (no
+        # trailing size-1 dims anywhere — XLA pads small lane dims 128x)
+        "row": pl.BlockSpec((8, xc), _cell_index, memory_space=pltpu.VMEM),
+        "ones": pl.BlockSpec((total, Dp), lambda v, y, x: (0, 0),
+                             memory_space=pltpu.VMEM),
+        "out": pl.BlockSpec((1, 1, xc, Dp), lambda v, y, x: (v, y, x, 0),
+                            memory_space=pltpu.VMEM),
+    }
+    W_band = None
+    if static_base:
+        assert ws >= xc + M + 8 and ws % 8 == 0, (ws, xc, M)
+        # band must cover [s_max - M .. x + s_max + 2] per chunk (the +2
+        # window residual folded out of the 8-aligned start)
+        W_band = min(-(-(xc + M + 8) // 128) * 128, ws)
+    return dict(V=V, h_r=h_r, w_r=w_r, C=C, ws=ws, xc=xc,
+                interpret=interpret, M=M, Mp=Mp, slices=slices, Dp=Dp,
+                widths=widths, total=total, ones=ones, kv=kv, sm=sm,
+                n_chunks=n_chunks, flat=flat, specs=specs, W_band=W_band)
+
+
+def _epiband_fwd_impl(fr_rect, fs_rect, base, sigma, n_hyp, s_max, sigma_lo,
+                      sigma_hi, interpret, xc, static_base):
+    cfg = _setup(fr_rect, fs_rect, n_hyp, s_max, sigma_lo, sigma_hi,
+                 interpret, xc, static_base)
+    s = cfg["specs"]
+    out_shape = jax.ShapeDtypeStruct(
+        (cfg["V"], cfg["h_r"], cfg["w_r"], cfg["Dp"]), jnp.float32)
+    grid = (cfg["V"], cfg["h_r"], cfg["n_chunks"])
+    sigma2 = cfg["flat"](sigma)
+
+    if static_base:
+        kern = functools.partial(
+            _epiband_kernel_static, D=n_hyp, s_max=s_max, ws=cfg["ws"],
+            M=cfg["M"], W_band=cfg["W_band"], slices=cfg["slices"],
+            xc=cfg["xc"], n_rows=cfg["h_r"], n_chunks=cfg["n_chunks"])
+        out = pl.pallas_call(
+            kern, grid=grid,
+            in_specs=[s["fr"], s["fs"], s["row"], s["ones"]],
+            out_specs=s["out"], out_shape=out_shape,
+            interpret=cfg["interpret"],
+        )(fr_rect, fs_rect, sigma2, cfg["ones"])
+    else:
+        kern = functools.partial(
+            _epiband_kernel, D=n_hyp, s_max=s_max, ws=cfg["ws"], M=cfg["M"],
+            slices=cfg["slices"], xc=cfg["xc"], n_rows=cfg["h_r"],
+            n_chunks=cfg["n_chunks"])
+        out = pl.pallas_call(
+            kern, grid=grid,
+            in_specs=[s["fr"], s["fs"], s["row"], s["row"], s["ones"]],
+            out_specs=s["out"], out_shape=out_shape,
+            interpret=cfg["interpret"],
+        )(fr_rect, fs_rect, cfg["flat"](base), sigma2, cfg["ones"])
+    return out[..., :n_hyp] if cfg["Dp"] != n_hyp else out
+
+
 def epiband_resample(
     fr_rect: jnp.ndarray,   # (V, h_r, w_r, C) features (bf16 or f32)
     fs_rect: jnp.ndarray,   # (V, h_r, ws_r, C)
@@ -241,86 +361,270 @@ def epiband_resample(
     ``static_base=True`` asserts ``base == 0`` everywhere (stage-0 slabs
     start at inverse depth 0) and switches to the diagonal-band kernel
     (:func:`_epiband_kernel_static`): ~4x less MXU and ~3x less roll work.
+
+    Differentiable w.r.t. ``fr_rect``/``fs_rect`` (Pallas backward kernels);
+    ``base``/``sigma`` receive zero gradient (reference parity: the CUDA
+    backward never writes ``coords_grad``, ``correlation_kernel.cu:307,323``).
     """
-    V, h_r, w_r, C = fr_rect.shape
-    ws = fs_rect.shape[2]
-    xc = xc or XC
-    assert w_r % xc == 0, (w_r, xc)
-    if jax.default_backend() == "cpu":
-        interpret = True  # pallas has no CPU backend; tests run interpreted
     if sigma_hi is None:
         sigma_hi = float(s_max) / max(n_hyp - 1, 1)
         sigma_lo = 0.0
-    M, slices = _window_and_slices(n_hyp, sigma_lo, sigma_hi)
-    M = min(M, ws)
-    slices = [(min(u0, M - 1), min(u1, M)) for (u0, u1) in slices]
+    return _epiband_vjp(
+        fr_rect, fs_rect, base, sigma, int(n_hyp), int(s_max),
+        float(sigma_lo), float(sigma_hi), bool(interpret),
+        int(xc) if xc else 0, bool(static_base))
 
-    # pad the hypothesis (output lane) axis to a multiple of 64: unaligned
-    # lane counts (e.g. the cascade's D=44 stage) cost masked stores
-    Dp = -(-n_hyp // 64) * 64
 
-    # static segment-sum matrix: lane j of the concatenated products belongs
-    # to hypothesis seg(j) — ones[j, k] = 1 iff seg(j) == k
-    widths = [u1 - u0 for (u0, u1) in slices]
-    total = sum(widths)
-    seg = np.repeat(np.arange(n_hyp), widths)
-    # the segment matrix's dtype selects the in-kernel reduction precision
-    # (see _segment_sum): bf16 features => single-pass bf16 matmul
-    seg_dtype = (np.float32 if fr_rect.dtype == jnp.float32 else jnp.bfloat16)
-    ones = jnp.asarray(
-        (seg[:, None] == np.arange(Dp)[None, :]).astype(np.float32)).astype(
-            seg_dtype)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+def _epiband_vjp(fr_rect, fs_rect, base, sigma, n_hyp, s_max, sigma_lo,
+                 sigma_hi, interpret, xc, static_base):
+    return _epiband_fwd_impl(fr_rect, fs_rect, base, sigma, n_hyp, s_max,
+                             sigma_lo, sigma_hi, interpret, xc or None,
+                             static_base)
 
-    n_chunks = w_r // xc
-    cells = V * h_r * n_chunks
-    cells_pad = -(-cells // 8) * 8
-    flat = lambda a: jnp.pad(
-        a.reshape(cells, xc), ((0, cells_pad - cells), (0, 0)))
-    sigma2 = flat(sigma)
 
-    def _cell_index(v, y, x):
-        return (((v * h_r + y) * n_chunks + x) // 8, 0)
+def _epiband_vjp_fwd(fr_rect, fs_rect, base, sigma, n_hyp, s_max, sigma_lo,
+                     sigma_hi, interpret, xc, static_base):
+    out = _epiband_fwd_impl(fr_rect, fs_rect, base, sigma, n_hyp, s_max,
+                            sigma_lo, sigma_hi, interpret, xc or None,
+                            static_base)
+    return out, (fr_rect, fs_rect, base, sigma)
 
-    fr_spec = pl.BlockSpec((1, 1, xc, C), lambda v, y, x: (v, y, x, 0),
-                           memory_space=pltpu.VMEM)
-    fs_spec = pl.BlockSpec((1, 1, ws, C), lambda v, y, x: (v, y, 0, 0),
-                           memory_space=pltpu.VMEM)
-    # sigma (and base): flattened cell rows, 8-sublane blocks (no trailing
-    # size-1 dims anywhere — XLA pads small lane dims 128x)
-    row_spec = pl.BlockSpec((8, xc), _cell_index, memory_space=pltpu.VMEM)
-    ones_spec = pl.BlockSpec((total, Dp), lambda v, y, x: (0, 0),
-                             memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, 1, xc, Dp), lambda v, y, x: (v, y, x, 0),
+
+def _epiband_vjp_bwd(n_hyp, s_max, sigma_lo, sigma_hi, interpret, xc,
+                     static_base, res, dout):
+    fr_rect, fs_rect, base, sigma = res
+    dfr, dfs = _epiband_bwd_impl(
+        fr_rect, fs_rect, base, sigma, dout, n_hyp, s_max, sigma_lo,
+        sigma_hi, interpret, xc or None, static_base)
+    return (dfr.astype(fr_rect.dtype), dfs.astype(fs_rect.dtype),
+            jnp.zeros_like(base), jnp.zeros_like(sigma))
+
+
+_epiband_vjp.defvjp(_epiband_vjp_fwd, _epiband_vjp_bwd)
+
+
+def _d_window(dout_ref, ones_ref, kv_ref, sm_ref, rel0, sigma, xc, M):
+    """Transpose of the hat/segment-sum stage, Mosaic-friendly (no dynamic
+    slices): expand dout to concatenated-window space with the transposed
+    segment matmul (d_prod[:, j] = dout[:, k(j)]), apply the hat weights
+    vectorized over the window lanes (k(j)/m(j) are static lane maps in
+    kv_ref), then segment-sum per WINDOW COLUMN with a second static 0/1
+    matmul.  Returns d_av (xc, M) = sum_k hat_k(m) * dout[:, k].
+    """
+    dout = dout_ref[0, 0]                               # (xc, Dp) f32
+    hi = ones_ref.dtype == jnp.float32
+    d_prod = jax.lax.dot_general(
+        dout.astype(ones_ref.dtype), ones_ref[:, :], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=(jax.lax.Precision.HIGHEST if hi
+                   else jax.lax.Precision.DEFAULT))     # (xc, total)
+    km = kv_ref[0:1, :]                                 # (1, total) k(j)
+    mm = kv_ref[1:2, :]                                 # (1, total) m(j)
+    rel = rel0 - km * sigma                             # (xc, total)
+    wgt = jnp.maximum(1.0 - jnp.abs(mm - rel), 0.0)
+    wprod = (d_prod * wgt).astype(sm_ref.dtype)
+    return jax.lax.dot_general(
+        wprod, sm_ref[:, :], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=(jax.lax.Precision.HIGHEST if hi
+                   else jax.lax.Precision.DEFAULT))[:, :M]  # (xc, M)
+
+
+def _epiband_bwd_kernel(fs_ref, fr_ref, base_ref, sigma_ref, ones_ref,
+                        kv_ref, sm_ref, dout_ref, dfr_ref, dfs_ref, *, D,
+                        s_max, ws, M, xc, n_rows, n_chunks):
+    """Backward of :func:`_epiband_kernel` for one (view, row, x-chunk).
+
+    dG[x, (c(x)+m) mod ws] = valid * sum_k hat_k(m) * dout[x, k]; then
+    dfr = dG @ fs and dfs += dG^T @ fr (accumulated over x-chunks into the
+    revisited (view, row) output block).
+    """
+    xchunk = pl.program_id(2)
+    r = ((pl.program_id(0) * n_rows + pl.program_id(1)) * n_chunks
+         + pl.program_id(2))
+    base = base_ref[pl.ds(r % 8, 1), :].reshape(xc, 1)
+    sigma = sigma_ref[pl.ds(r % 8, 1), :].reshape(xc, 1)
+    xg = (jax.lax.broadcasted_iota(jnp.int32, (xc, 1), 0).astype(jnp.float32)
+          + (xchunk * xc).astype(jnp.float32))
+    p0 = xg + float(s_max) - base
+    c = jnp.floor(p0).astype(jnp.int32) - (M - 2)
+    c = jnp.clip(c, -M, ws - 1)
+    rel0 = p0 - c.astype(jnp.float32)
+    cpos = jnp.where(c < 0, c + ws, c)
+
+    d_av = _d_window(dout_ref, ones_ref, kv_ref, sm_ref, rel0, sigma, xc, M)
+
+    miota = jax.lax.broadcasted_iota(jnp.int32, (1, M), 1)
+    s_abs = c + miota
+    valid = ((s_abs >= 0) & (s_abs <= ws - 1)).astype(jnp.float32)
+    d_av = d_av * valid
+
+    # inverse barrel alignment (right-rotate by cpos, two-level: residual
+    # bits on the narrow array first, then 128-quantized full-width rolls —
+    # the exact inverse of the forward ladder; wrapped positions carry zeros
+    # thanks to the validity mask)
+    Wn = min(M + 128, ws)
+    buf = jnp.concatenate(
+        [d_av, jnp.zeros((xc, Wn - M), jnp.float32)], axis=1)
+    for b in range(7):
+        amt = 1 << b
+        if amt >= ws:
+            break
+        bit = (cpos & amt) > 0
+        buf = jnp.where(bit, pltpu.roll(buf, amt, axis=1), buf)
+    dG = jnp.concatenate(
+        [buf, jnp.zeros((xc, ws - Wn), jnp.float32)], axis=1)
+    for b in range(max(1, math.ceil(math.log2(-(-ws // 128))))):
+        amt = 128 << b
+        if amt >= ws:
+            break
+        bit = (cpos & amt) > 0
+        dG = jnp.where(bit, pltpu.roll(dG, amt, axis=1), dG)
+
+    fs = fs_ref[0, 0]                                   # (ws, C)
+    fr = fr_ref[0, 0]                                   # (xc, C)
+    if fs.dtype == jnp.float32:
+        dfr = jax.lax.dot_general(
+            dG, fs, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        contrib = jax.lax.dot_general(
+            dG, fr, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+    else:
+        dGb = dG.astype(jnp.bfloat16)
+        dfr = jax.lax.dot_general(
+            dGb, fs, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)
+        contrib = jax.lax.dot_general(
+            dGb, fr, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)
+    dfr_ref[0, 0, :, :] = dfr
+
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        dfs_ref[0, 0, :, :] = contrib
+
+    @pl.when(pl.program_id(2) != 0)
+    def _acc():
+        dfs_ref[0, 0, :, :] = dfs_ref[0, 0, :, :] + contrib
+
+
+def _epiband_bwd_kernel_static(fs_ref, fr_ref, sigma_ref, ones_ref, kv_ref,
+                               sm_ref, dout_ref, dfr_ref, dfs_ref, *, D,
+                               s_max, ws, M, W_band, xc, n_rows, n_chunks):
+    """Backward of :func:`_epiband_kernel_static` (zero-base stage 0)."""
+    x0 = pl.program_id(2) * xc
+    K8 = s_max - M
+    start = 8 * jnp.minimum((x0 + K8) // 8, (ws - W_band) // 8)
+    r = ((pl.program_id(0) * n_rows + pl.program_id(1)) * n_chunks
+         + pl.program_id(2))
+    sigma = sigma_ref[pl.ds(r % 8, 1), :].reshape(xc, 1)
+
+    rel0 = jnp.full((xc, 1), float(M - 2), jnp.float32)
+    d_av = _d_window(dout_ref, ones_ref, kv_ref, sm_ref, rel0, sigma, xc, M)
+
+    # inverse per-lane alignment: right-rotate by amt (no wrap, same bound
+    # as the forward ladder)
+    amt = (jax.lax.broadcasted_iota(jnp.int32, (xc, 1), 0)
+           + (x0 + K8 + 2 - start))
+    max_amt = (xc + 1
+               + max(0, (n_chunks - 1) * xc + K8 + W_band - ws))
+    d_band = jnp.concatenate(
+        [d_av, jnp.zeros((xc, W_band - M), jnp.float32)], axis=1)
+    nbits = max(1, math.ceil(math.log2(max_amt + 1)))
+    for b in range(nbits):
+        a = 1 << b
+        bit = (amt & a) > 0
+        d_band = jnp.where(bit, pltpu.roll(d_band, a % W_band, axis=1),
+                           d_band)
+
+    fr = fr_ref[0, 0]                                   # (xc, C)
+    fs_band = fs_ref[0, 0, pl.ds(start, W_band), :]     # (W_band, C)
+    if fr.dtype == jnp.float32:
+        dfr = jax.lax.dot_general(
+            d_band, fs_band, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        contrib = jax.lax.dot_general(
+            d_band, fr, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+    else:
+        dBb = d_band.astype(jnp.bfloat16)
+        dfr = jax.lax.dot_general(
+            dBb, fs_band, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)
+        contrib = jax.lax.dot_general(
+            dBb, fr, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)
+    dfr_ref[0, 0, :, :] = dfr
+
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        dfs_ref[0, 0, :, :] = jnp.zeros_like(dfs_ref[0, 0, :, :])
+
+    cur = dfs_ref[0, 0, pl.ds(start, W_band), :]
+    dfs_ref[0, 0, pl.ds(start, W_band), :] = cur + contrib
+
+
+def _epiband_bwd_impl(fr_rect, fs_rect, base, sigma, dout, n_hyp, s_max,
+                      sigma_lo, sigma_hi, interpret, xc, static_base):
+    cfg = _setup(fr_rect, fs_rect, n_hyp, s_max, sigma_lo, sigma_hi,
+                 interpret, xc, static_base)
+    s = cfg["specs"]
+    Dp = cfg["Dp"]
+    if Dp != n_hyp:
+        dout = jnp.pad(dout, ((0, 0),) * 3 + ((0, Dp - n_hyp),))
+    dout = dout.astype(jnp.float32)
+    grid = (cfg["V"], cfg["h_r"], cfg["n_chunks"])
+    sigma2 = cfg["flat"](sigma)
+    C = cfg["C"]
+    dfr_shape = jax.ShapeDtypeStruct(
+        (cfg["V"], cfg["h_r"], cfg["w_r"], C), jnp.float32)
+    dfs_shape = jax.ShapeDtypeStruct(
+        (cfg["V"], cfg["h_r"], cfg["ws"], C), jnp.float32)
+    dfs_spec = pl.BlockSpec((1, 1, cfg["ws"], C), lambda v, y, x: (v, y, 0, 0),
                             memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((V, h_r, w_r, Dp), jnp.float32)
+    dout_spec = pl.BlockSpec((1, 1, cfg["xc"], Dp),
+                             lambda v, y, x: (v, y, x, 0),
+                             memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((8, cfg["total"]), lambda v, y, x: (0, 0),
+                           memory_space=pltpu.VMEM)
+    sm_spec = pl.BlockSpec((cfg["total"], cfg["Mp"]),
+                           lambda v, y, x: (0, 0), memory_space=pltpu.VMEM)
 
     if static_base:
-        assert ws >= xc + M + 8 and ws % 8 == 0, (ws, xc, M)
-        # band must cover [s_max - M .. x + s_max + 2] per chunk (the +2
-        # window residual folded out of the 8-aligned start)
-        W_band = min(-(-(xc + M + 8) // 128) * 128, ws)
         kern = functools.partial(
-            _epiband_kernel_static, D=n_hyp, s_max=s_max, ws=ws, M=M,
-            W_band=W_band, slices=slices, xc=xc, n_rows=h_r,
-            n_chunks=n_chunks)
-        out = pl.pallas_call(
-            kern,
-            grid=(V, h_r, n_chunks),
-            in_specs=[fr_spec, fs_spec, row_spec, ones_spec],
-            out_specs=out_spec,
-            out_shape=out_shape,
-            interpret=interpret,
-        )(fr_rect, fs_rect, sigma2, ones)
+            _epiband_bwd_kernel_static, D=n_hyp, s_max=s_max, ws=cfg["ws"],
+            M=cfg["M"], W_band=cfg["W_band"], xc=cfg["xc"],
+            n_rows=cfg["h_r"], n_chunks=cfg["n_chunks"])
+        dfr, dfs = pl.pallas_call(
+            kern, grid=grid,
+            in_specs=[s["fs"], s["fr"], s["row"], s["ones"], kv_spec,
+                      sm_spec, dout_spec],
+            out_specs=[s["fr"], dfs_spec],
+            out_shape=[dfr_shape, dfs_shape],
+            interpret=cfg["interpret"],
+        )(fs_rect, fr_rect, sigma2, cfg["ones"], cfg["kv"], cfg["sm"], dout)
     else:
         kern = functools.partial(
-            _epiband_kernel, D=n_hyp, s_max=s_max, ws=ws, M=M, slices=slices,
-            xc=xc, n_rows=h_r, n_chunks=n_chunks)
-        out = pl.pallas_call(
-            kern,
-            grid=(V, h_r, n_chunks),
-            in_specs=[fr_spec, fs_spec, row_spec, row_spec, ones_spec],
-            out_specs=out_spec,
-            out_shape=out_shape,
-            interpret=interpret,
-        )(fr_rect, fs_rect, flat(base), sigma2, ones)
-    return out[..., :n_hyp] if Dp != n_hyp else out
+            _epiband_bwd_kernel, D=n_hyp, s_max=s_max, ws=cfg["ws"],
+            M=cfg["M"], xc=cfg["xc"], n_rows=cfg["h_r"],
+            n_chunks=cfg["n_chunks"])
+        dfr, dfs = pl.pallas_call(
+            kern, grid=grid,
+            in_specs=[s["fs"], s["fr"], s["row"], s["row"], s["ones"],
+                      kv_spec, sm_spec, dout_spec],
+            out_specs=[s["fr"], dfs_spec],
+            out_shape=[dfr_shape, dfs_shape],
+            interpret=cfg["interpret"],
+        )(fs_rect, fr_rect, cfg["flat"](base), sigma2, cfg["ones"],
+          cfg["kv"], cfg["sm"], dout)
+    return dfr, dfs

@@ -338,6 +338,39 @@ def plan_rectification(
                     view_rates=view_rates, view_s_max=view_s_max)
 
 
+def plan_union(plans) -> RectPlan:
+    """Smallest RectPlan covering every plan in ``plans``.
+
+    For TRAINING batches (B > 1): per-sample geometry differs, but one
+    static plan must serve the whole batch (shapes are part of the compiled
+    graph).  Inputs must share the view count.  Rates/bands are already
+    snapped to coarse grids by :func:`plan_rectification`, so min/max of
+    grid points stay on the grid and batches bucket into few compiled
+    variants.
+    """
+    plans = list(plans)
+    for p in plans:
+        if not p.ok:
+            return p
+    nv = {len(p.view_s_max) for p in plans}
+    if len(nv) > 1:
+        return RectPlan(0, 0, 0, 0, False, "view-count mismatch in union")
+    V = nv.pop() if all(p.view_rates for p in plans) else 0
+    view_rates = tuple(
+        (min(p.view_rates[v][0] for p in plans),
+         max(p.view_rates[v][1] for p in plans))
+        for v in range(V))
+    s_max = max(p.s_max for p in plans)
+    return RectPlan(
+        max(p.h_r for p in plans), max(p.w_r for p in plans),
+        s_max, max(p.s_neg for p in plans), True, "",
+        rate_lo=min(p.rate_lo for p in plans),
+        rate_hi=max(p.rate_hi for p in plans),
+        view_rates=view_rates,
+        view_s_max=tuple(min(max(p.view_s_max[v] for p in plans), s_max)
+                         for v in range(V)))
+
+
 def _snap_rates(rate_lo: float, rate_hi: float) -> Tuple[float, float]:
     """Outward-snap a rate interval to a multiplicative grid.
 

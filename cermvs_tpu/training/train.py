@@ -29,6 +29,7 @@ def train(
     resume: bool = True,
     seed: int = 1234,
     log_every: int = 100,
+    construction: str = "exact",
 ):
     import jax
     import jax.numpy as jnp
@@ -58,6 +59,38 @@ def train(
         print(f"resumed from step {int(state.step)}")
 
     step_fn = make_train_step(model, tx, mesh=mesh)
+
+    # construction="rectified": train through the rectified epiband kernels
+    # (differentiable; ops/pallas/epiband.py) when the batch geometry admits
+    # a rectification plan — the exact gather path's construction fwd+bwd is
+    # ~70% of the step (benchmarks/profile_train_parts.py).  Per-batch
+    # host-side plans bucket into few compiled variants (snapped grids);
+    # non-rectifiable batches fall back to the exact step.  Single-process
+    # only: under a data mesh the per-sample loop would slice the sharded
+    # batch axis, so rectified is skipped there.
+    _rect_steps = {}
+
+    def pick_step(batch):
+        if construction != "rectified" or mesh is not None:
+            return step_fn
+        from cermvs_tpu.ops.corr_rectified import make_rectified_volume_fn
+        from cermvs_tpu.ops.rectify import plan_rectification, plan_union
+
+        poses_np = np.asarray(batch["poses"], np.float64)
+        intr_np = np.asarray(batch["intrinsics"], np.float64).copy()
+        f = model.stride_factor
+        intr_np[..., :2, :] /= f
+        H, W = batch["images"].shape[2:4]
+        plan = plan_union(
+            plan_rectification(poses_np[b], intr_np[b], H // f, W // f)
+            for b in range(poses_np.shape[0]))
+        if not plan.ok:
+            return step_fn
+        if plan not in _rect_steps:
+            m = RAFT(volume_fn=make_rectified_volume_fn(plan))
+            _rect_steps[plan] = make_train_step(m, tx, mesh=None)
+        return _rect_steps[plan]
+
     logger = Logger(name, lr_fn=schedule, SUM_FREQ=log_every,
                     is_host0=jax.process_index() == 0)
 
@@ -72,7 +105,7 @@ def train(
                 batch = shard_batch(batch, mesh)
             gw = (fix_gradual_weight if fix_gradual_weight is not None
                   else total_steps / num_steps)
-            state, metrics = step_fn(state, batch, jnp.float32(gw))
+            state, metrics = pick_step(batch)(state, batch, jnp.float32(gw))
             total_steps += 1
 
             logger.push({k: float(v) for k, v in metrics.items()})

@@ -313,6 +313,151 @@ class TestEpibandKernel:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-4, atol=1e-3)
 
+    @pytest.mark.parametrize("static_base", [False, True])
+    def test_vjp_matches_oracle_grad(self, rng, static_base):
+        """Custom backward kernels vs jax.grad of the differentiable oracle.
+
+        base/sigma cotangents are zero by design (reference parity: the CUDA
+        backward never writes coords_grad, correlation_kernel.cu:307,323).
+        """
+        from cermvs_tpu.ops.corr_rectified import _resample_rows_oracle
+        from cermvs_tpu.ops.pallas.epiband import epiband_resample
+        V, h_r, w_r, ws, C, D = 1, 8, 128, 256, 8, 8
+        s_max = 64  # ws - w_r - s_max = 64 margin; static needs 8-aligned ws
+        fr = jnp.asarray(rng.randn(V, h_r, w_r, C).astype(np.float32))
+        fs = jnp.asarray(rng.randn(V, h_r, ws, C).astype(np.float32))
+        if static_base:
+            base = jnp.zeros((V, h_r, w_r), jnp.float32)
+        else:
+            base = jnp.asarray(
+                rng.uniform(-10.0, 40.0, (V, h_r, w_r)).astype(np.float32))
+        sigma = jnp.asarray(
+            rng.uniform(1.0, 3.0, (V, h_r, w_r)).astype(np.float32))
+        cot = jnp.asarray(rng.randn(V, h_r, w_r, D).astype(np.float32))
+
+        def loss_oracle(fr, fs):
+            out = jax.vmap(lambda a, b, c, d: _resample_rows_oracle(
+                a, b, c, d, D, s_max))(fr, fs, base, sigma)
+            return jnp.sum(out * cot)
+
+        def loss_kern(fr, fs, base, sigma):
+            out = epiband_resample(fr, fs, base, sigma, D, s_max,
+                                   sigma_lo=1.0, sigma_hi=3.0,
+                                   static_base=static_base)
+            return jnp.sum(out * cot)
+
+        g_ref = jax.grad(loss_oracle, argnums=(0, 1))(fr, fs)
+        g = jax.grad(loss_kern, argnums=(0, 1, 2, 3))(fr, fs, base, sigma)
+        for a, b in zip(g_ref, g[:2]):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-3, atol=1e-3)
+        assert float(jnp.abs(g[2]).max()) == 0.0  # d_base
+        assert float(jnp.abs(g[3]).max()) == 0.0  # d_sigma
+
+
+class TestRectifiedTraining:
+    """Differentiable rectified construction for the TRAIN path."""
+
+    def _scene(self, B=2, n=3, H=32, W=64):
+        K = np.array([[40.0, 0, W / 2], [0, 40.0, H / 2], [0, 0, 1]],
+                     np.float32)
+        rng = np.random.RandomState(0)
+        poses = np.tile(np.eye(4, dtype=np.float32), (B, n, 1, 1))
+        for b in range(B):
+            for i, bx in enumerate([0.0, 1.2 + 0.2 * b, -1.6]):
+                poses[b, i, 0, 3] = -bx
+        images = rng.rand(B, n, H, W, 3).astype(np.float32) * 255
+        return images, poses, np.tile(K, (B, n, 1, 1))
+
+    def _plan(self, poses, intr, H, W, B):
+        from cermvs_tpu.ops.rectify import plan_rectification, plan_union
+        K4 = intr.copy()
+        K4[..., :2, :] /= 4.0
+        return plan_union(plan_rectification(
+            poses[b], K4[b], H // 4, W // 4, lambda_max=0.1)
+            for b in range(B))
+
+    def test_train_grads_match_exact_on_lateral_scene(self):
+        """Pure lateral motion: rectified warps are lossless, so the FULL
+        train-mode gradient (through volume construction, pyramid, lookups,
+        GRU) must match the exact gather path's."""
+        from cermvs_tpu.models.raft import RAFT
+        from cermvs_tpu.ops.corr_rectified import make_rectified_volume_fn
+
+        images, poses, intr = self._scene()
+        B, n, H, W, _ = images.shape
+        plan = self._plan(poses, intr, H, W, B)
+        assert plan.ok, plan.reason
+        kw = dict(cascade=((8, 0.5, 2),), dtype=jnp.float32)
+        m_exact = RAFT(**kw)
+        m_rect = RAFT(volume_fn=make_rectified_volume_fn(plan), **kw)
+        args = (jnp.asarray(images), jnp.asarray(poses), jnp.asarray(intr))
+        params = m_exact.init(jax.random.PRNGKey(0), *args)
+
+        def loss(m):
+            def f(p):
+                preds = m.apply(p, *args)
+                return jnp.sum(jnp.stack(preds) ** 2)
+            return f
+
+        g_exact = jax.grad(loss(m_exact))(params)
+        g_rect = jax.grad(loss(m_rect))(params)
+        le, lr = map(jax.tree_util.tree_leaves, (g_exact, g_rect))
+        assert any(float(jnp.abs(g).max()) > 0 for g in le)
+        for a, b in zip(le, lr):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=5e-2, atol=1e-4)
+
+    def test_batched_matches_per_sample(self):
+        from cermvs_tpu.ops.corr_rectified import (
+            build_corr_volume_rectified, make_rectified_volume_fn)
+
+        images, poses, intr = self._scene()
+        B, n, H, W, _ = images.shape
+        h, w = H // 4, W // 4
+        plan = self._plan(poses, intr, H, W, B)
+        rng = np.random.RandomState(1)
+        fmaps = jnp.asarray(rng.randn(B, n, h, w, 8).astype(np.float32))
+        K4 = intr.copy()
+        K4[..., :2, :] /= 4.0
+        ii = jnp.zeros(n - 1, jnp.int32)
+        jj = jnp.arange(1, n, dtype=jnp.int32)
+        origin = jnp.asarray(
+            rng.rand(B, 1, h, w).astype(np.float32) * 0.02)
+        vfn = make_rectified_volume_fn(plan)
+        vol = vfn(fmaps, jnp.asarray(poses), jnp.asarray(K4), ii, jj,
+                  origin, 8, 0.005, mean_over_views=True)
+        assert vol.shape == (B, 1, h, w, 8)
+        for b in range(B):
+            ref = build_corr_volume_rectified(
+                fmaps[b:b + 1], jnp.asarray(poses[b:b + 1]),
+                jnp.asarray(K4[b:b + 1]), ii, jj, origin[b:b + 1],
+                8, 0.005, plan, mean_over_views=True)
+            np.testing.assert_allclose(np.asarray(vol[b:b + 1]),
+                                       np.asarray(ref), rtol=1e-5,
+                                       atol=1e-5)
+
+    def test_plan_union(self):
+        from cermvs_tpu.ops.rectify import plan_rectification, plan_union
+
+        images, poses, intr = self._scene()
+        B, n, H, W, _ = images.shape
+        K4 = intr.copy()
+        K4[..., :2, :] /= 4.0
+        plans = [plan_rectification(poses[b], K4[b], H // 4, W // 4,
+                                    lambda_max=0.1) for b in range(B)]
+        u = plan_union(plans)
+        assert u.ok
+        assert u.h_r == max(p.h_r for p in plans)
+        assert u.s_max == max(p.s_max for p in plans)
+        assert u.rate_lo <= min(p.rate_lo for p in plans)
+        assert u.rate_hi >= max(p.rate_hi for p in plans)
+        for v in range(n - 1):
+            for p in plans:
+                lo, hi, sm = p.view_params(v)
+                ulo, uhi, usm = u.view_params(v)
+                assert ulo <= lo and uhi >= hi and usm >= sm
+
 
 class TestInferenceRunnerIntegration:
     """construction="auto"/"rectified" through the inference driver."""
