@@ -1,0 +1,88 @@
+"""The non-construction, non-encoder remainder of the train step
+(~530 ms at the 528x704 quarter crop): 16 GRU iterations + lookups + loss +
+optimizer.  Ablate: scan+remat vs unrolled, lookup share, loss share.
+"""
+import sys, time
+sys.path.insert(0, "/root/repo")
+import numpy as np, jax, jax.numpy as jnp
+import flax.linen as nn
+print("devices:", jax.devices(), flush=True)
+
+from cermvs_tpu.models.update import UpdateBlock
+from cermvs_tpu.ops import corr as corr_ops
+from cermvs_tpu.ops.corr import CorrPyramid, build_pyramid
+
+B, H, W = 2, 132, 176
+CASCADE = ((64, 64, 8), (-1, 320, 8))
+rng = np.random.RandomState(0)
+
+ub = UpdateBlock(cascade=CASCADE)
+net0 = jnp.asarray(rng.randn(B, H, W, 64).astype(np.float32))
+inp = jnp.asarray(rng.randn(B, H, W, 64).astype(np.float32))
+disp0 = jnp.asarray(rng.rand(B, H, W, 1).astype(np.float32) * 0.002)
+vol = jnp.asarray(rng.randn(B, 1, H, W, 64).astype(np.float32))
+pyr = CorrPyramid(build_pyramid(vol, 3), jnp.zeros((B, 1, H, W)),
+                  0.0025 / 64, 64, 3)
+params = ub.init(jax.random.PRNGKey(0), jnp.tanh(net0), nn.relu(inp),
+                 disp0, corr_ops.lookup(pyr, disp0[..., 0][:, None], 5), 0)
+
+
+def timeit(label, f, *args, n_iter=4):
+    f_j = jax.jit(f)
+    t0 = time.perf_counter()
+    out = f_j(*args)
+    float(sum(jnp.sum(x.astype(jnp.float32))
+              for x in jax.tree_util.tree_leaves(out)))
+    print(f"  [{label} compile {time.perf_counter()-t0:.0f}s]", flush=True)
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = f_j(*args)
+    float(sum(jnp.sum(x.astype(jnp.float32))
+              for x in jax.tree_util.tree_leaves(out)))
+    print(f"{label}: {(time.perf_counter()-t0)/n_iter*1000:.1f} ms",
+          flush=True)
+
+
+def iters(remat, n=16, with_lookup=True):
+    def f(p, net, disp):
+        class M(nn.Module):
+            def setup(self):
+                self.ub = UpdateBlock(cascade=CASCADE, name="ub")
+
+            def __call__(self, net, disp):
+                def body(mdl, carry, _):
+                    net, disp = carry
+                    disp = jax.lax.stop_gradient(disp)
+                    if with_lookup:
+                        corr = corr_ops.lookup(
+                            pyr, disp[..., 0][:, None], 5, impl="banded")
+                    else:
+                        corr = jnp.broadcast_to(
+                            vol[..., :33], (B, 1, H, W, 33))
+                    net, delta = mdl.ub(net, inp, disp, corr, 1)
+                    return (net, disp + delta), disp + delta
+
+                fn = nn.remat(body, static_argnums=()) if remat else body
+                (net, disp), preds = nn.scan(
+                    fn, variable_broadcast="params",
+                    split_rngs={"params": False}, length=n)(
+                        self, (net, disp), None)
+                return preds
+        m = M()
+        return m.apply({"params": {"ub": p["params"]}}, net, disp)
+    return f
+
+
+def grad_of(f):
+    return jax.grad(
+        lambda p, net, disp: jnp.sum(f(p, net, disp).astype(jnp.float32)
+                                     ** 2))
+
+
+timeit("16 iters fwd (scan+remat)", iters(True), params, net0, disp0)
+timeit("16 iters fwd+bwd (scan+remat)", grad_of(iters(True)),
+       params, net0, disp0)
+timeit("16 iters fwd+bwd (scan, no remat)", grad_of(iters(False)),
+       params, net0, disp0)
+timeit("16 iters fwd+bwd (remat, no lookup)",
+       grad_of(iters(True, with_lookup=False)), params, net0, disp0)

@@ -53,6 +53,14 @@ class RAFT(nn.Module):
     hyp_chunk: int = 16
     remat: bool = True
     unroll_iters: bool = False
+    # frames per feature-encoder scan step: per-frame scanning serializes
+    # 22 small convs behind each other (measured 449 ms fwd+bwd vs 87 ms
+    # fully batched at the DTU quarter crop, benchmarks/profile_encoder.py);
+    # chunked-batched scanning with remat per chunk recovers the batching
+    # while keeping live activations ~chunk-bounded.  None => auto: 8 in
+    # training, 1 in test mode (scale-2 inference frames are 4x larger and
+    # memory-bound).
+    encoder_chunk: Optional[int] = None
     # "banded" (gather-free XLA), "pallas" (fused kernel, pools in-VMEM,
     # no pyramid storage), or "gather" (reference-style interp fallback)
     lookup_impl: str = "banded"
@@ -124,18 +132,31 @@ class RAFT(nn.Module):
         net = jnp.tanh(net_inp[..., : self.dim_net])
         inp = nn.relu(net_inp[..., self.dim_net :])
 
-        # serialize the feature encoder over frames: bounds peak memory in
+        # chunk-scan the feature encoder over frames: bounds peak memory in
         # BOTH modes (replaces the reference's imperative test-time loop at
         # core/raft.py:66-69 and its reliance on 24GB GPUs for training)
-        def encode(mdl, carry, img):
-            return carry, mdl.fnet(img)
+        # while batching `chunk` frames per conv call for MXU utilization
+        # (per-frame scanning measured 5x slower fwd+bwd; see encoder_chunk)
+        chunk = self.encoder_chunk or (1 if self.test_mode else 8)
+        total = B * N
+        chunk = min(chunk, total)
+        frames = images.reshape(total, H, W, 3)
+        pad = -total % chunk
+        if pad:
+            frames = jnp.concatenate(
+                [frames, jnp.zeros((pad,) + frames.shape[1:],
+                                   frames.dtype)], axis=0)
+
+        def encode(mdl, carry, fr):
+            return carry, mdl.fnet(fr)
 
         encode = nn.remat(encode) if self.remat else encode
         fmaps = nn.scan(
             encode, variable_broadcast="params",
-            split_rngs={"params": False}, in_axes=1, out_axes=1,
-        )(self, (), images)[1]
-        fmaps = fmaps.astype(jnp.float32)
+            split_rngs={"params": False}, in_axes=0, out_axes=0,
+        )(self, (), frames.reshape(-1, chunk, H, W, 3))[1]
+        fmaps = fmaps.reshape(-1, h, w, fmaps.shape[-1])[:total]
+        fmaps = fmaps.reshape(B, N, h, w, -1).astype(jnp.float32)
 
         disp = jnp.zeros((B, h, w, 1), jnp.float32)
         predictions = []
