@@ -1,6 +1,10 @@
 """The non-construction, non-encoder remainder of the train step
 (~530 ms at the 528x704 quarter crop): 16 GRU iterations + lookups + loss +
-optimizer.  Ablate: scan+remat vs unrolled, lookup share, loss share.
+optimizer.  Ablate: scan+remat vs unrolled, lookup share.
+
+NOTE: every device array is passed as a jit ARGUMENT — closures over device
+arrays get serialized into the remote compile request (DEVNOTES.md) and can
+hang the compile for tens of minutes.
 """
 import sys, time
 sys.path.insert(0, "/root/repo")
@@ -17,18 +21,20 @@ CASCADE = ((64, 64, 8), (-1, 320, 8))
 rng = np.random.RandomState(0)
 
 ub = UpdateBlock(cascade=CASCADE)
-net0 = jnp.asarray(rng.randn(B, H, W, 64).astype(np.float32))
-inp = jnp.asarray(rng.randn(B, H, W, 64).astype(np.float32))
+net0 = jnp.asarray(rng.randn(B, H, W, 64).astype(np.float32)).astype(
+    jnp.bfloat16)
+inp0 = jnp.asarray(rng.randn(B, H, W, 64).astype(np.float32)).astype(
+    jnp.bfloat16)
 disp0 = jnp.asarray(rng.rand(B, H, W, 1).astype(np.float32) * 0.002)
 vol = jnp.asarray(rng.randn(B, 1, H, W, 64).astype(np.float32))
-pyr = CorrPyramid(build_pyramid(vol, 3), jnp.zeros((B, 1, H, W)),
-                  0.0025 / 64, 64, 3)
-params = ub.init(jax.random.PRNGKey(0), jnp.tanh(net0), nn.relu(inp),
-                 disp0, corr_ops.lookup(pyr, disp0[..., 0][:, None], 5), 0)
+pyr0 = CorrPyramid(build_pyramid(vol, 3), jnp.zeros((B, 1, H, W)),
+                   0.0025 / 64, 64, 3)
+params = ub.init(jax.random.PRNGKey(0), jnp.tanh(net0), nn.relu(inp0),
+                 disp0, corr_ops.lookup(pyr0, disp0[..., 0][:, None], 5), 0)
 
 
 def timeit(label, f, *args, n_iter=4):
-    f_j = jax.jit(f)
+    f_j = jax.jit(f, static_argnums=(0, 1))
     t0 = time.perf_counter()
     out = f_j(*args)
     float(sum(jnp.sum(x.astype(jnp.float32))
@@ -43,46 +49,58 @@ def timeit(label, f, *args, n_iter=4):
           flush=True)
 
 
-def iters(remat, n=16, with_lookup=True):
-    def f(p, net, disp):
-        class M(nn.Module):
-            def setup(self):
-                self.ub = UpdateBlock(cascade=CASCADE, name="ub")
+class M(nn.Module):
+    remat: bool
+    with_lookup: bool
 
-            def __call__(self, net, disp):
-                def body(mdl, carry, _):
-                    net, disp = carry
-                    disp = jax.lax.stop_gradient(disp)
-                    if with_lookup:
-                        corr = corr_ops.lookup(
-                            pyr, disp[..., 0][:, None], 5, impl="banded")
-                    else:
-                        corr = jnp.broadcast_to(
-                            vol[..., :33], (B, 1, H, W, 33))
-                    net, delta = mdl.ub(net, inp, disp, corr, 1)
-                    return (net, disp + delta), disp + delta
+    def setup(self):
+        self.ub = UpdateBlock(cascade=CASCADE, name="ub")
 
-                fn = nn.remat(body, static_argnums=()) if remat else body
-                (net, disp), preds = nn.scan(
-                    fn, variable_broadcast="params",
-                    split_rngs={"params": False}, length=n)(
-                        self, (net, disp), None)
-                return preds
-        m = M()
-        return m.apply({"params": {"ub": p["params"]}}, net, disp)
-    return f
+    def __call__(self, net, disp, inp, levels, corr_fixed):
+        pyr = CorrPyramid(list(levels), jnp.zeros((B, 1, H, W)),
+                          0.0025 / 64, 64, 3)
 
+        def body(mdl, carry, _):
+            net, disp = carry
+            disp = jax.lax.stop_gradient(disp)
+            if mdl.with_lookup:
+                corr = corr_ops.lookup(pyr, disp[..., 0][:, None], 5,
+                                       impl="banded")
+            else:
+                corr = corr_fixed
+            net, delta = mdl.ub(net, inp, disp, corr, 1)
+            return (net, disp + delta), disp + delta
 
-def grad_of(f):
-    return jax.grad(
-        lambda p, net, disp: jnp.sum(f(p, net, disp).astype(jnp.float32)
-                                     ** 2))
+        fn = nn.remat(body, static_argnums=()) if self.remat else body
+        (net, disp), preds = nn.scan(
+            fn, variable_broadcast="params",
+            split_rngs={"params": False}, length=16)(
+                self, (net, disp), None)
+        return preds
 
 
-timeit("16 iters fwd (scan+remat)", iters(True), params, net0, disp0)
-timeit("16 iters fwd+bwd (scan+remat)", grad_of(iters(True)),
-       params, net0, disp0)
-timeit("16 iters fwd+bwd (scan, no remat)", grad_of(iters(False)),
-       params, net0, disp0)
-timeit("16 iters fwd+bwd (remat, no lookup)",
-       grad_of(iters(True, with_lookup=False)), params, net0, disp0)
+def run_fwd(remat, with_lookup, p, net, disp, inp, levels, corr_fixed):
+    m = M(remat=remat, with_lookup=with_lookup)
+    return m.apply({"params": {"ub": p["params"]}}, net, disp, inp,
+                   levels, corr_fixed)
+
+
+def run_bwd(remat, with_lookup, p, net, disp, inp, levels, corr_fixed):
+    def loss(p):
+        return jnp.sum(run_fwd(remat, with_lookup, p, net, disp, inp,
+                               levels, corr_fixed).astype(jnp.float32) ** 2)
+    return jax.grad(loss)(p)
+
+
+levels = tuple(pyr0.levels)
+corr_fixed = jnp.asarray(
+    rng.randn(B, 1, H, W, 33).astype(np.float32)).astype(jnp.bfloat16)
+
+timeit("16 iters fwd (scan+remat)", run_fwd, True, True,
+       params, net0, disp0, inp0, levels, corr_fixed)
+timeit("16 iters fwd+bwd (scan+remat)", run_bwd, True, True,
+       params, net0, disp0, inp0, levels, corr_fixed)
+timeit("16 iters fwd+bwd (scan, no remat)", run_bwd, False, True,
+       params, net0, disp0, inp0, levels, corr_fixed)
+timeit("16 iters fwd+bwd (remat, no lookup)", run_bwd, True, False,
+       params, net0, disp0, inp0, levels, corr_fixed)
