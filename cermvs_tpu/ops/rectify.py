@@ -152,8 +152,25 @@ def homography_grid(H, out_h: int, out_w: int, xp=jnp, clamp: float = 1e4):
     return (xp.clip(qx / w, -clamp, clamp), xp.clip(qy / w, -clamp, clamp))
 
 
+def _corner_quads(img: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, C) -> ((H+2)*(W+2), 4C) zero-padded corner-quad rows.
+
+    Row ``(y+1)*(W+2) + (x+1)`` holds ``[f[y,x], f[y,x+1], f[y+1,x],
+    f[y+1,x+1]]`` — the four bilinear corners of sample cell (y, x) as ONE
+    contiguous row, so a warp costs one gather descriptor per output pixel
+    instead of four (same packing as ``corr._make_corner_quads``; measured
+    ~2.6x on the exact construction's gathers).
+    """
+    H, W, C = img.shape
+    Wp = W + 2
+    flat = jnp.pad(img, ((1, 1), (1, 1), (0, 0))).reshape((H + 2) * Wp, C)
+    return jnp.concatenate(
+        [flat, jnp.roll(flat, -1, axis=0), jnp.roll(flat, -Wp, axis=0),
+         jnp.roll(flat, -(Wp + 1), axis=0)], axis=-1)
+
+
 def warp_image(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
-               mode: str = "zero"):
+               mode: str = "zero", impl: str = "quad"):
     """Inverse-warp ``img`` (H, W, C) at pixel positions x/y (...,).
 
     mode="zero": out-of-image samples contribute zero (feature warps — matches
@@ -161,6 +178,10 @@ def warp_image(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     boundary masks). mode="clamp": edge-extend (per-pixel parameter maps like
     the slab origin, where zero bleed-in would corrupt boundary values).
     Taps are gathered in ``img.dtype`` (bf16-safe); lerp weights stay fp32.
+
+    impl="quad" (default) gathers all four corners as one packed 4C row
+    (:func:`_corner_quads`); impl="taps" is the 4-descriptor variant (same
+    values bit-for-bit, kept as the oracle).
     """
     H, W = img.shape[:2]
     if mode == "clamp":
@@ -172,17 +193,39 @@ def warp_image(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     fy = y - y0
     ix0 = x0.astype(jnp.int32)
     iy0 = y0.astype(jnp.int32)
+
+    def inside(iy, ix):
+        return ((ix >= 0) & (ix <= W - 1) & (iy >= 0)
+                & (iy <= H - 1)).astype(jnp.float32)
+
+    if impl == "quad":
+        C = img.shape[-1] if img.ndim == 3 else 1
+        quads = _corner_quads(img.reshape(H, W, C))
+        # padded index: in-range for ix in [-1, W-1], iy in [-1, H-1] (the
+        # pad ring holds zeros); farther out every corner weight is masked
+        idx = (jnp.clip(iy0 + 1, 0, H) * (W + 2)
+               + jnp.clip(ix0 + 1, 0, W))
+        g = jnp.take(quads, idx.reshape(-1), axis=0, mode="clip").reshape(
+            idx.shape + (4 * C,))
+        weights = [
+            (1 - fx) * (1 - fy) * inside(iy0, ix0),
+            fx * (1 - fy) * inside(iy0, ix0 + 1),
+            (1 - fx) * fy * inside(iy0 + 1, ix0),
+            fx * fy * inside(iy0 + 1, ix0 + 1),
+        ]
+        return sum(g[..., q * C:(q + 1) * C].astype(jnp.float32)
+                   * weights[q][..., None] for q in range(4))
+
     flat = img.reshape(H * W, -1)
 
     def tap(iy, ix, w):
-        inside = (ix >= 0) & (ix <= W - 1) & (iy >= 0) & (iy <= H - 1)
         idx = jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1)
         # mode='clip' (indices pre-clipped): the default fill mode
         # materializes an extra select buffer the size of the gather output
         # (DEVNOTES.md)
         v = jnp.take(flat, idx.reshape(-1), axis=0, mode="clip").reshape(
             idx.shape + (flat.shape[-1],))
-        return v.astype(jnp.float32) * (w * inside)[..., None]
+        return v.astype(jnp.float32) * (w * inside(iy, ix))[..., None]
 
     return (tap(iy0, ix0, (1 - fx) * (1 - fy))
             + tap(iy0, ix0 + 1, fx * (1 - fy))

@@ -226,6 +226,31 @@ def test_planner_grid_shapes():
     assert fy.min() > 0 and fy.max() < plan.h_r - 1
 
 
+@pytest.mark.parametrize("mode", ["zero", "clamp"])
+def test_warp_image_quad_matches_taps(mode):
+    """Packed corner-quad gathers (one descriptor/pixel) must equal the
+    4-tap formulation bit-for-bit, including out-of-image samples and the
+    gradients w.r.t. the image."""
+    from cermvs_tpu.ops.rectify import warp_image
+
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randn(12, 17, 5).astype(np.float32))
+    # positions spanning in-range, boundary, and far out-of-range
+    x = jnp.asarray(rng.uniform(-6, 23, (9, 11)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(-6, 18, (9, 11)).astype(np.float32))
+
+    out_q = warp_image(img, x, y, mode=mode, impl="quad")
+    out_t = warp_image(img, x, y, mode=mode, impl="taps")
+    np.testing.assert_array_equal(np.asarray(out_q), np.asarray(out_t))
+
+    g_q = jax.grad(lambda i: jnp.sum(
+        warp_image(i, x, y, mode=mode, impl="quad") ** 2))(img)
+    g_t = jax.grad(lambda i: jnp.sum(
+        warp_image(i, x, y, mode=mode, impl="taps") ** 2))(img)
+    np.testing.assert_allclose(np.asarray(g_q), np.asarray(g_t),
+                               rtol=1e-6, atol=1e-6)
+
+
 class TestEpibandKernel:
     """Fused Pallas kernel vs the XLA oracle resampler (interpret mode)."""
 
