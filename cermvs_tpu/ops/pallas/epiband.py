@@ -48,7 +48,35 @@ from jax.experimental.pallas import tpu as pltpu
 XC = 128  # x-chunk (sublane) tile; plans round w_r to a multiple of this
 
 
-def _epiband_kernel(fr_ref, fs_ref, base_ref, sigma_ref, ones_ref, out_ref, *,
+def _hat_window_sum(av, sigma, rel0, ones_ref, kv_ref, sm_ref, xc, M):
+    """Hat-weighted window sums on FULL-WIDTH lane arrays.
+
+    Replaces the per-hypothesis slice loop (D ops on (xc, ~width) arrays at
+    <1/8 lane utilization, plus a D-way concat): expand the aligned window
+    to concatenated-window lanes with one static 0/1 matmul
+    (av_exp[:, j] = av[:, m(j)] — sm transposed), evaluate every hat weight
+    in one (xc, total) vector expression via the static k(j)/m(j) lane maps,
+    then segment-sum per hypothesis (the existing ones matmul).
+    """
+    Mp = sm_ref.shape[1]
+    if Mp != M:
+        av = jnp.concatenate(
+            [av, jnp.zeros((xc, Mp - M), jnp.float32)], axis=1)
+    hi = ones_ref.dtype == jnp.float32
+    av_exp = jax.lax.dot_general(
+        av.astype(sm_ref.dtype), sm_ref[:, :], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=(jax.lax.Precision.HIGHEST if hi
+                   else jax.lax.Precision.DEFAULT))    # (xc, total)
+    km = kv_ref[0:1, :]
+    mm = kv_ref[1:2, :]
+    rel = rel0 - km * sigma                            # (xc, total)
+    wgt = jnp.maximum(1.0 - jnp.abs(mm - rel), 0.0)
+    return _segment_sum(av_exp * wgt, ones_ref)
+
+
+def _epiband_kernel(fr_ref, fs_ref, base_ref, sigma_ref, ones_ref, kv_ref,
+                    sm_ref, out_ref, *,
                     D, s_max, ws, M, slices, xc=XC, n_rows=1, n_chunks=1):
     """One (view, row, x-chunk) cell.
 
@@ -114,20 +142,8 @@ def _epiband_kernel(fr_ref, fs_ref, base_ref, sigma_ref, ones_ref, out_ref, *,
     valid = ((s_abs >= 0) & (s_abs <= ws - 1)).astype(jnp.float32)
     av = aligned * valid
 
-    # hat-weighted products per hypothesis, concatenated along lanes; the
-    # reduction over each window is ONE MXU matmul against a static
-    # block-ones segment matrix — Mosaic lane reductions per k measured ~7x
-    # slower than this (see ARCHITECTURE.md performance notes)
-    pieces = []
-    for k in range(D):
-        u0, u1 = slices[k]
-        rel = rel0 - float(k) * sigma      # (XC, 1)
-        m = (jax.lax.broadcasted_iota(jnp.int32, (1, u1 - u0), 1)
-             .astype(jnp.float32) + float(u0))
-        wgt = jnp.maximum(1.0 - jnp.abs(m - rel), 0.0)
-        pieces.append(av[:, u0:u1] * wgt)
-    prod = jnp.concatenate(pieces, axis=1)  # (XC, sum(widths))
-    out_ref[0, 0, :, :] = _segment_sum(prod, ones_ref)
+    out_ref[0, 0, :, :] = _hat_window_sum(
+        av, sigma, rel0, ones_ref, kv_ref, sm_ref, xc, M)
 
 
 def _segment_sum(prod, ones_ref):
@@ -153,7 +169,8 @@ def _segment_sum(prod, ones_ref):
                    precision=jax.lax.Precision.DEFAULT)
 
 
-def _epiband_kernel_static(fr_ref, fs_ref, sigma_ref, ones_ref, out_ref, *,
+def _epiband_kernel_static(fr_ref, fs_ref, sigma_ref, ones_ref, kv_ref,
+                           sm_ref, out_ref, *,
                            D, s_max, ws, M, W_band, slices, xc, n_rows,
                            n_chunks):
     """Zero-base variant (stage 0: the hypothesis slab starts at inverse
@@ -199,16 +216,9 @@ def _epiband_kernel_static(fr_ref, fs_ref, sigma_ref, ones_ref, out_ref, *,
     r = ((pl.program_id(0) * n_rows + pl.program_id(1)) * n_chunks
          + pl.program_id(2))
     sigma = sigma_ref[pl.ds(r % 8, 1), :].reshape(xc, 1)
-    pieces = []
-    for k in range(D):
-        u0, u1 = slices[k]
-        rel = float(M - 2) - float(k) * sigma      # (xc, 1)
-        m = (jax.lax.broadcasted_iota(jnp.int32, (1, u1 - u0), 1)
-             .astype(jnp.float32) + float(u0))
-        wgt = jnp.maximum(1.0 - jnp.abs(m - rel), 0.0)
-        pieces.append(aligned[:, u0:u1] * wgt)
-    prod = jnp.concatenate(pieces, axis=1)
-    out_ref[0, 0, :, :] = _segment_sum(prod, ones_ref)
+    rel0 = jnp.full((xc, 1), float(M - 2), jnp.float32)
+    out_ref[0, 0, :, :] = _hat_window_sum(
+        aligned, sigma, rel0, ones_ref, kv_ref, sm_ref, xc, M)
 
 
 def _window_and_slices(D, sigma_lo, sigma_hi):
@@ -289,6 +299,10 @@ def _setup(fr_rect, fs_rect, n_hyp, s_max, sigma_lo, sigma_hi, interpret,
         "row": pl.BlockSpec((8, xc), _cell_index, memory_space=pltpu.VMEM),
         "ones": pl.BlockSpec((total, Dp), lambda v, y, x: (0, 0),
                              memory_space=pltpu.VMEM),
+        "kv": pl.BlockSpec((8, total), lambda v, y, x: (0, 0),
+                           memory_space=pltpu.VMEM),
+        "sm": pl.BlockSpec((total, Mp), lambda v, y, x: (0, 0),
+                           memory_space=pltpu.VMEM),
         "out": pl.BlockSpec((1, 1, xc, Dp), lambda v, y, x: (v, y, x, 0),
                             memory_space=pltpu.VMEM),
     }
@@ -321,10 +335,11 @@ def _epiband_fwd_impl(fr_rect, fs_rect, base, sigma, n_hyp, s_max, sigma_lo,
             xc=cfg["xc"], n_rows=cfg["h_r"], n_chunks=cfg["n_chunks"])
         out = pl.pallas_call(
             kern, grid=grid,
-            in_specs=[s["fr"], s["fs"], s["row"], s["ones"]],
+            in_specs=[s["fr"], s["fs"], s["row"], s["ones"], s["kv"],
+                      s["sm"]],
             out_specs=s["out"], out_shape=out_shape,
             interpret=cfg["interpret"],
-        )(fr_rect, fs_rect, sigma2, cfg["ones"])
+        )(fr_rect, fs_rect, sigma2, cfg["ones"], cfg["kv"], cfg["sm"])
     else:
         kern = functools.partial(
             _epiband_kernel, D=n_hyp, s_max=s_max, ws=cfg["ws"], M=cfg["M"],
@@ -332,10 +347,12 @@ def _epiband_fwd_impl(fr_rect, fs_rect, base, sigma, n_hyp, s_max, sigma_lo,
             n_chunks=cfg["n_chunks"])
         out = pl.pallas_call(
             kern, grid=grid,
-            in_specs=[s["fr"], s["fs"], s["row"], s["row"], s["ones"]],
+            in_specs=[s["fr"], s["fs"], s["row"], s["row"], s["ones"],
+                      s["kv"], s["sm"]],
             out_specs=s["out"], out_shape=out_shape,
             interpret=cfg["interpret"],
-        )(fr_rect, fs_rect, cfg["flat"](base), sigma2, cfg["ones"])
+        )(fr_rect, fs_rect, cfg["flat"](base), sigma2, cfg["ones"],
+          cfg["kv"], cfg["sm"])
     return out[..., :n_hyp] if cfg["Dp"] != n_hyp else out
 
 
@@ -595,10 +612,6 @@ def _epiband_bwd_impl(fr_rect, fs_rect, base, sigma, dout, n_hyp, s_max,
     dout_spec = pl.BlockSpec((1, 1, cfg["xc"], Dp),
                              lambda v, y, x: (v, y, x, 0),
                              memory_space=pltpu.VMEM)
-    kv_spec = pl.BlockSpec((8, cfg["total"]), lambda v, y, x: (0, 0),
-                           memory_space=pltpu.VMEM)
-    sm_spec = pl.BlockSpec((cfg["total"], cfg["Mp"]),
-                           lambda v, y, x: (0, 0), memory_space=pltpu.VMEM)
 
     if static_base:
         kern = functools.partial(
@@ -607,8 +620,8 @@ def _epiband_bwd_impl(fr_rect, fs_rect, base, sigma, dout, n_hyp, s_max,
             n_rows=cfg["h_r"], n_chunks=cfg["n_chunks"])
         dfr, dfs = pl.pallas_call(
             kern, grid=grid,
-            in_specs=[s["fs"], s["fr"], s["row"], s["ones"], kv_spec,
-                      sm_spec, dout_spec],
+            in_specs=[s["fs"], s["fr"], s["row"], s["ones"], s["kv"],
+                      s["sm"], dout_spec],
             out_specs=[s["fr"], dfs_spec],
             out_shape=[dfr_shape, dfs_shape],
             interpret=cfg["interpret"],
@@ -621,7 +634,7 @@ def _epiband_bwd_impl(fr_rect, fs_rect, base, sigma, dout, n_hyp, s_max,
         dfr, dfs = pl.pallas_call(
             kern, grid=grid,
             in_specs=[s["fs"], s["fr"], s["row"], s["row"], s["ones"],
-                      kv_spec, sm_spec, dout_spec],
+                      s["kv"], s["sm"], dout_spec],
             out_specs=[s["fr"], dfs_spec],
             out_shape=[dfr_shape, dfs_shape],
             interpret=cfg["interpret"],
