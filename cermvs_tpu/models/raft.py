@@ -137,7 +137,17 @@ class RAFT(nn.Module):
         # core/raft.py:66-69 and its reliance on 24GB GPUs for training)
         # while batching `chunk` frames per conv call for MXU utilization
         # (per-frame scanning measured 5x slower fwd+bwd; see encoder_chunk)
-        chunk = self.encoder_chunk or (1 if self.test_mode else 8)
+        if self.encoder_chunk:
+            chunk = self.encoder_chunk
+        elif not self.test_mode:
+            chunk = 8
+        else:
+            # test mode: no backward, so live activations are ~2 tensors per
+            # chunk frame (~64 MB/frame bf16 at DTU scale 1); scale-2 frames
+            # are 4x that next to multi-GB volumes — stay per-frame there.
+            # H, W are static at trace time, so this branches per shape
+            # bucket, not per value.
+            chunk = 4 if H * W <= 2_100_000 else 1
         total = B * N
         chunk = min(chunk, total)
         frames = images.reshape(total, H, W, 3)
