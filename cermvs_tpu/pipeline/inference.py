@@ -34,7 +34,8 @@ class InferenceRunner:
     """
 
     def __init__(self, params, model=None, mesh=None, construction="auto",
-                 rect_lambda_max: float = 0.00375, **model_kwargs):
+                 rect_lambda_max: float = 0.00375,
+                 rect_memory_budget: float = 6e9, **model_kwargs):
         import jax
         from cermvs_tpu.models.raft import RAFT
 
@@ -48,6 +49,11 @@ class InferenceRunner:
         # back to exact, "rectified" warns on fallback.
         self.construction = construction
         self.rect_lambda_max = rect_lambda_max
+        # HBM cap for the rectified path's persistent warped-feature rows
+        # (shared across cascade stages): ~V*h_r*(w_r+ws_r)*C bf16 bytes.
+        # Scale-2 passes with many views exceed any 16 GB chip — fall back
+        # to the exact path rather than OOM.
+        self.rect_memory_budget = rect_memory_budget
         self._cache: Dict[tuple, object] = {}
         self._rect_models: Dict[object, object] = {}
         self._warned_fallback = False
@@ -68,6 +74,16 @@ class InferenceRunner:
         plan = plan_rectification(
             poses, intr, img_shape[0] // f, img_shape[1] // f,
             lambda_max=self.rect_lambda_max)
+        if plan.ok:
+            from cermvs_tpu.ops.rectify import RectPlan
+
+            V = poses.shape[0] - 1
+            C = self.model.dim_fmap
+            rect_bytes = 2 * V * plan.h_r * (plan.w_r + plan.ws_r) * C
+            if rect_bytes > self.rect_memory_budget:
+                plan = RectPlan(0, 0, 0, 0, False,
+                                f"rect features ~{rect_bytes / 1e9:.1f} GB "
+                                f"exceed budget")
         if not plan.ok:
             if self.construction == "rectified" and not self._warned_fallback:
                 print(f"[inference] rectified construction unavailable "

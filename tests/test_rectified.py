@@ -520,6 +520,25 @@ class TestInferenceRunnerIntegration:
         # weights still map identical volumes to identical outputs
         np.testing.assert_allclose(d_auto, d_exact, rtol=1e-3, atol=1e-4)
 
+    def test_auto_falls_back_on_memory_budget(self):
+        from cermvs_tpu.pipeline.inference import InferenceRunner
+        from cermvs_tpu.models.raft import RAFT
+
+        images, poses, intr = self._scene()
+        model = RAFT(test_mode=True, cascade=((8, 0.5, 2),),
+                     dtype=jnp.float32)
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.asarray(images[None]),
+            jnp.asarray(poses[None]), jnp.asarray(intr[None]),
+            jnp.asarray([1.0]))
+        runner = InferenceRunner(params, construction="auto",
+                                 rect_lambda_max=0.1,
+                                 rect_memory_budget=1.0,  # reject everything
+                                 cascade=((8, 0.5, 2),), dtype=jnp.float32)
+        depth = runner(images, poses, intr, 1.0)
+        assert not runner._rect_models  # exact path used
+        assert np.isfinite(depth).all()
+
     def test_auto_falls_back_on_forward_motion(self):
         from cermvs_tpu.pipeline.inference import InferenceRunner
         from cermvs_tpu.models.raft import RAFT
