@@ -338,6 +338,32 @@ class TestEpibandKernel:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-4, atol=1e-3)
 
+    def test_vjp_out_of_band_positions(self, rng):
+        """Slabs partly/fully outside the band: the backward's inverse-roll
+        wrap positions must carry zeros (validity mask), matching the
+        oracle's zero-padding gradients."""
+        from cermvs_tpu.ops.corr_rectified import _resample_rows_oracle
+        from cermvs_tpu.ops.pallas.epiband import epiband_resample
+        V, h_r, w_r, ws, C, D = 1, 8, 128, 224, 8, 8
+        s_max = ws - w_r - 16
+        fr = jnp.asarray(rng.randn(V, h_r, w_r, C).astype(np.float32))
+        fs = jnp.asarray(rng.randn(V, h_r, ws, C).astype(np.float32))
+        base = jnp.asarray(
+            rng.uniform(-60.0, 90.0, (V, h_r, w_r)).astype(np.float32))
+        sigma = jnp.asarray(
+            rng.uniform(1.0, 3.0, (V, h_r, w_r)).astype(np.float32))
+        cot = jnp.asarray(rng.randn(V, h_r, w_r, D).astype(np.float32))
+
+        g_ref = jax.grad(lambda a, b: jnp.sum(jax.vmap(
+            lambda q, s, c, d: _resample_rows_oracle(q, s, c, d, D, s_max))(
+                a, b, base, sigma) * cot), argnums=(0, 1))(fr, fs)
+        g = jax.grad(lambda a, b: jnp.sum(epiband_resample(
+            a, b, base, sigma, D, s_max, sigma_lo=1.0, sigma_hi=3.0) * cot),
+            argnums=(0, 1))(fr, fs)
+        for a, b in zip(g_ref, g):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-3, atol=1e-3)
+
     @pytest.mark.parametrize("static_base", [False, True])
     def test_vjp_matches_oracle_grad(self, rng, static_base):
         """Custom backward kernels vs jax.grad of the differentiable oracle.
