@@ -86,6 +86,8 @@ def main():
         plan = plan_rectification(np.asarray(poses), K4, h // 4, w // 4)
         if plan.ok:
             volume_fn = make_rectified_volume_fn(plan)
+            print(f"construction: rectified (plan {plan.h_r}x{plan.w_r} "
+                  f"s_max={plan.s_max})", file=sys.stderr)
         elif construction == "rectified":
             raise RuntimeError(f"rectified plan rejected: {plan.reason}")
 
