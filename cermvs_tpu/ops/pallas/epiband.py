@@ -77,12 +77,12 @@ def _hat_window_sum(av, sigma, rel0, ones_ref, kv_ref, sm_ref, xc, M):
 
 def _epiband_kernel(fr_ref, fs_ref, base_ref, sigma_ref, ones_ref, kv_ref,
                     sm_ref, out_ref, *,
-                    D, s_max, ws, M, slices, xc=XC, n_rows=1, n_chunks=1):
+                    D, s_max, ws, M, xc=XC, n_rows=1, n_chunks=1):
     """One (view, row, x-chunk) cell.
 
     fr_ref: (1,1,XC,C); fs_ref: (1,1,ws,C); base/sigma: (1,1,XC,1);
     ones_ref: (sum(widths), D) static segment-sum matrix; out_ref:
-    (1,1,XC,D).  ``slices``: per-k static (u0, u1) lane windows.
+    (1,1,XC,D).
     """
     xchunk = pl.program_id(2)
     fr = fr_ref[0, 0]            # (XC, C)
@@ -171,7 +171,7 @@ def _segment_sum(prod, ones_ref):
 
 def _epiband_kernel_static(fr_ref, fs_ref, sigma_ref, ones_ref, kv_ref,
                            sm_ref, out_ref, *,
-                           D, s_max, ws, M, W_band, slices, xc, n_rows,
+                           D, s_max, ws, M, W_band, xc, n_rows,
                            n_chunks):
     """Zero-base variant (stage 0: the hypothesis slab starts at inverse
     depth 0 everywhere, so ``base == 0`` STATICALLY).
@@ -331,7 +331,7 @@ def _epiband_fwd_impl(fr_rect, fs_rect, base, sigma, n_hyp, s_max, sigma_lo,
     if static_base:
         kern = functools.partial(
             _epiband_kernel_static, D=n_hyp, s_max=s_max, ws=cfg["ws"],
-            M=cfg["M"], W_band=cfg["W_band"], slices=cfg["slices"],
+            M=cfg["M"], W_band=cfg["W_band"],
             xc=cfg["xc"], n_rows=cfg["h_r"], n_chunks=cfg["n_chunks"])
         out = pl.pallas_call(
             kern, grid=grid,
@@ -343,7 +343,7 @@ def _epiband_fwd_impl(fr_rect, fs_rect, base, sigma, n_hyp, s_max, sigma_lo,
     else:
         kern = functools.partial(
             _epiband_kernel, D=n_hyp, s_max=s_max, ws=cfg["ws"], M=cfg["M"],
-            slices=cfg["slices"], xc=cfg["xc"], n_rows=cfg["h_r"],
+            xc=cfg["xc"], n_rows=cfg["h_r"],
             n_chunks=cfg["n_chunks"])
         out = pl.pallas_call(
             kern, grid=grid,
