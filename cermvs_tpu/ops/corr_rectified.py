@@ -77,11 +77,25 @@ def rect_features(fmaps, poses, intrinsics, ii, jj, plan, feature_dtype):
     for v in range(V):
         _, _, s_max_v = plan.view_params(v)
         col0 = plan.s_max - s_max_v  # src band: columns [col0, ws_r)
-        fr_rect = rectify.warp_image(
-            f_ref, rrx[v], rry[v]).astype(feature_dtype)
-        fs_rect = rectify.warp_image(
-            f_src[v], rsx[v, :, col0:], rsy[v, :, col0:]).astype(
-                feature_dtype)
+        if plan.twopass:
+            # MXU hat-matrix warps (rectify.warp_image_twopass): the gather-
+            # free formulation, eligible per the host planner's gate.  The
+            # src band offset composes as an output-side translation.
+            shift = jnp.asarray(
+                [[1.0, 0.0, float(col0)], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]],
+                jnp.float32)
+            fr_rect = rectify.warp_image_twopass(
+                f_ref, geo["H_ref_inv"][v], plan.h_r,
+                plan.w_r).astype(feature_dtype)
+            fs_rect = rectify.warp_image_twopass(
+                f_src[v], geo["H_src_inv"][v] @ shift, plan.h_r,
+                plan.ws_r - col0).astype(feature_dtype)
+        else:
+            fr_rect = rectify.warp_image(
+                f_ref, rrx[v], rry[v]).astype(feature_dtype)
+            fs_rect = rectify.warp_image(
+                f_src[v], rsx[v, :, col0:], rsy[v, :, col0:]).astype(
+                    feature_dtype)
         warped.append((fr_rect, fs_rect))
     return geo, warped
 
@@ -150,9 +164,11 @@ def build_corr_volume_rectified(
         else:
             vol_rect = _resample_rows_oracle(
                 fr_rect, fs_rect, base, sigma, n_hyp, s_max_v)
-        # back-warp taps gather in the volume's dtype: bf16 halves the
-        # dominant HBM read traffic of this bilinear warp; the 4-tap lerp
-        # still accumulates fp32 (same policy as the feature gathers)
+        # back-warp in the volume's feature dtype: bf16 halves the HBM
+        # traffic; the resample still accumulates fp32 (both impls)
+        if plan.twopass:
+            return rectify.warp_image_twopass(
+                vol_rect.astype(feature_dtype), geo["H_fwd"][v], h, w)
         return rectify.warp_image(
             vol_rect.astype(feature_dtype), fwx[v], fwy[v])  # (h, w, D) fp32
 

@@ -47,6 +47,7 @@ import math
 from dataclasses import dataclass
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -234,6 +235,123 @@ def warp_image(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Two-pass hat-matrix warp (MXU formulation of the homography resample)
+# ---------------------------------------------------------------------------
+
+
+def _twopass_maps(Hi: jnp.ndarray, h_s: int, out_w: int) -> jnp.ndarray:
+    """Horizontal-pass sample positions ``m(y', x)`` for a two-pass warp.
+
+    ``Hi`` maps output pixels to input pixels (the inverse-warp homography).
+    ``m[y', x]`` is the input COLUMN where output column x's warp curve
+    crosses input row ``y'``: solving ``Y(x, y*) = y'`` for the output row
+    ``y*`` (rational in ``(x, y')``) and evaluating ``X(x, y*)``.  Rows where
+    the curve never crosses (pole of the solve) are pushed out of range so
+    their hat weights vanish; the host-side :func:`_twopass_ok` gate keeps
+    such rows out of the weight support entirely.
+    """
+    Hi = Hi.astype(jnp.float32)
+    yp = jnp.arange(h_s, dtype=jnp.float32)[:, None]       # (h_s, 1)
+    x = jnp.arange(out_w, dtype=jnp.float32)[None, :]      # (1, out_w)
+    den1 = Hi[1, 1] - yp * Hi[2, 1]                        # (h_s, 1)
+    safe1 = jnp.where(jnp.abs(den1) < 1e-6, 1e-6, den1)
+    ystar = (yp * (Hi[2, 0] * x + Hi[2, 2])
+             - (Hi[1, 0] * x + Hi[1, 2])) / safe1          # (h_s, out_w)
+    den2 = Hi[2, 0] * x + Hi[2, 1] * ystar + Hi[2, 2]
+    safe2 = jnp.where(jnp.abs(den2) < 1e-6, 1e-6, den2)
+    m = (Hi[0, 0] * x + Hi[0, 1] * ystar + Hi[0, 2]) / safe2
+    bad = (jnp.abs(den1) < 1e-6) | (jnp.abs(den2) < 1e-6)
+    return jnp.where(bad, -1e4, jnp.clip(m, -1e4, 1e4))
+
+
+def warp_image_twopass(img: jnp.ndarray, H_inv: jnp.ndarray, out_h: int,
+                       out_w: int, mode: str = "zero", row_chunk: int = 32,
+                       col_chunk: int = 64) -> jnp.ndarray:
+    """Inverse-warp ``img`` (h_s, w_s, C) through homography ``H_inv`` as two
+    1-D hat-matrix resamples (matmuls) instead of 2-D HBM gathers.
+
+    The quad-gather :func:`warp_image` reads ~4C bytes from a random HBM
+    location per output pixel (~75 GB/s effective, BENCH_NOTES.md); this
+    formulation reads the image SEQUENTIALLY and puts the resample on the
+    MXU:
+
+      pass 1 (horizontal): ``tmp[y', x, :] = img[y', :, :]^T @ hat(s - m)``
+        per row chunk, with ``m(y', x)`` the column where output column x's
+        warp curve crosses input row y' (:func:`_twopass_maps`);
+      pass 2 (vertical):   ``out[y, x, :] = hat(y' - k)^T @ tmp[:, x, :]``
+        per column chunk, with ``k(x, y)`` the direct vertical map.
+
+    Equals direct bilinear EXACTLY for separable warps (axis-aligned affine,
+    e.g. the pure-lateral-motion rectifications); for general homographies
+    the two samples sit ON the warp curve at integer input rows — a valid
+    linear resample of the same continuous signal whose deviation from
+    direct bilinear is O(row-tilt x local feature gradient).  Eligibility
+    (poles outside range, bounded tilt) is decided host-side by
+    :func:`_twopass_ok` / ``RectPlan.twopass``.
+
+    ``mode`` as in :func:`warp_image`: "zero" zeroes out-of-image samples
+    (the hat support does this naturally), "clamp" edge-extends.  Returns
+    fp32; bf16 inputs run bf16 matmuls (fp32 accumulation), fp32 inputs run
+    HIGHEST-precision matmuls (the TPU default truncates fp32 operands).
+    Position maps carry ``stop_gradient`` (reference parity: the CUDA
+    backward never writes coordinate grads, ``correlation_kernel.cu:307``);
+    image gradients flow through the transposed matmuls, with hat matrices
+    rematerialized (``jax.checkpoint``) rather than saved.
+    """
+    h_s, w_s, C = img.shape
+    k = homography_grid(H_inv, out_h, out_w)[1]            # (out_h, out_w)
+    m = _twopass_maps(H_inv, h_s, out_w)
+    if mode == "clamp":
+        m = jnp.clip(m, 0.0, w_s - 1.0)
+        k = jnp.clip(k, 0.0, h_s - 1.0)
+    m = jax.lax.stop_gradient(m)
+    k = jax.lax.stop_gradient(k)
+    cdtype = img.dtype if img.dtype == jnp.bfloat16 else jnp.float32
+    prec = (jax.lax.Precision.DEFAULT if cdtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+
+    hp = -(-h_s // row_chunk) * row_chunk
+    imgp = jnp.pad(img, ((0, hp - h_s), (0, 0), (0, 0)))
+    # padded rows get out-of-range positions AFTER any clamp: zero hat rows,
+    # so they contribute nothing to either mode
+    mp = jnp.pad(m, ((0, hp - h_s), (0, 0)), constant_values=-1e4)
+
+    @jax.checkpoint
+    def row_body(args):
+        img_c, m_c = args                                  # (r, w_s, C)
+        s = jax.lax.broadcasted_iota(jnp.float32,
+                                     (row_chunk, w_s, out_w), 1)
+        S = jnp.maximum(1.0 - jnp.abs(s - m_c[:, None, :]), 0.0)
+        tmp = jnp.einsum("rsc,rsx->rxc", img_c.astype(cdtype),
+                         S.astype(cdtype),
+                         preferred_element_type=jnp.float32, precision=prec)
+        return tmp.astype(cdtype)
+
+    n_r = hp // row_chunk
+    tmp = jax.lax.map(row_body, (imgp.reshape(n_r, row_chunk, w_s, C),
+                                 mp.reshape(n_r, row_chunk, out_w)))
+    tmp = tmp.reshape(hp, out_w, C).transpose(1, 0, 2)     # (out_w, hp, C)
+
+    wp = -(-out_w // col_chunk) * col_chunk
+    tmpp = jnp.pad(tmp, ((0, wp - out_w), (0, 0), (0, 0)))
+    kT = jnp.pad(k.T, ((0, wp - out_w), (0, 0)), constant_values=-1e4)
+
+    @jax.checkpoint
+    def col_body(args):
+        t_c, k_c = args                                    # (cc, hp, C)
+        y = jax.lax.broadcasted_iota(jnp.float32,
+                                     (col_chunk, hp, out_h), 1)
+        T = jnp.maximum(1.0 - jnp.abs(y - k_c[:, None, :]), 0.0)
+        return jnp.einsum("xyc,xyz->xzc", t_c, T.astype(cdtype),
+                          preferred_element_type=jnp.float32, precision=prec)
+
+    n_c = wp // col_chunk
+    out = jax.lax.map(col_body, (tmpp.reshape(n_c, col_chunk, hp, C),
+                                 kT.reshape(n_c, col_chunk, out_h)))
+    return out.reshape(wp, out_h, C)[:out_w].transpose(1, 0, 2)
+
+
+# ---------------------------------------------------------------------------
 # Static plan (host side)
 # ---------------------------------------------------------------------------
 
@@ -265,6 +383,10 @@ class RectPlan:
     # Empty tuples => use the scene-wide values for every view.
     view_rates: Tuple[Tuple[float, float], ...] = ()
     view_s_max: Tuple[int, ...] = ()
+    # True => every (view, warp) passed the two-pass eligibility gate
+    # (:func:`_twopass_ok`) and the builder may use the MXU hat-matrix warp
+    # (:func:`warp_image_twopass`) instead of quad gathers
+    twopass: bool = False
 
     @property
     def ws_r(self) -> int:
@@ -280,6 +402,82 @@ class RectPlan:
 
 def _round_up(v: float, m: int) -> int:
     return int(math.ceil(v / m)) * m
+
+
+def _twopass_ok(Hi: np.ndarray, out_h: int, out_w: int, in_h: int,
+                in_w: int, tilt_max: float = 6.0) -> bool:
+    """Host-side eligibility of ONE warp for :func:`warp_image_twopass`.
+
+    Requires, over the evaluated domain (input rows x output columns, with a
+    1-px margin): (1) the vertical solve's denominator ``h11 - y' h21``
+    bounded away from 0 and sign-constant (every output column's warp curve
+    crosses each input row exactly once); (2) the homography denominator
+    bounded away from 0 on both the crossing points and the output grid (no
+    horizon in range); (3) horizontal drift per input row (= how far the
+    two-pass samples sit from the direct bilinear footprint) under
+    ``tilt_max`` pixels.  Rectification homographies (rotation-only, planner
+    pre-gated) sit comfortably inside these bounds; anything else falls back
+    to the quad-gather warp.
+    """
+    Hi = np.asarray(Hi, np.float64)
+    scale = max(abs(Hi[1, 1]), 1e-12)
+    # anchor the legitimate projective branch at the forward projection of
+    # the INPUT image center (definitionally a legitimate sample); output
+    # grids may legally contain a horizon in their dead zones (the rect-src
+    # grid is mostly disparity-band padding outside the warped footprint)
+    pc = np.linalg.inv(Hi) @ np.array([(in_w - 1) / 2, (in_h - 1) / 2, 1.0])
+    if abs(pc[2]) < 1e-9:
+        return False
+    den_c = (Hi[2, 0] * pc[0] + Hi[2, 1] * pc[1]) / pc[2] + Hi[2, 2]
+    if abs(den_c) < 1e-3:
+        return False
+    sgn = np.sign(den_c)
+    # sample the output grid with a 25% margin (plan_union may enlarge the
+    # grids after gating; the per-view centering offsets shift with them):
+    # only pixels whose vertical map k lands within hat range of the input
+    # rows matter — a horizon beyond the footprint gets zero weight either
+    # way
+    xs = np.linspace(-0.25 * out_w, 1.25 * out_w, 41)
+    ys = np.linspace(-0.25 * out_h, 1.25 * out_h, 41)
+    Yg, Xg = np.meshgrid(ys, xs, indexing="ij")
+    den = Hi[2, 0] * Xg + Hi[2, 1] * Yg + Hi[2, 2]
+    dsafe = np.where(np.abs(den) < 1e-12, 1e-12, den)
+    k = (Hi[1, 0] * Xg + Hi[1, 1] * Yg + Hi[1, 2]) / dsafe
+    kmask = (k > -2.0) & (k < in_h + 1.0)
+
+    # the vertical hats only touch input rows y' within 1 of the legitimate
+    # crossing k(x, y) (clamp mode pins k inside [0, in_h-1], zero mode
+    # zero-weights out-of-range rows): the solve must be well-posed exactly
+    # there, not on the full (y', x) rectangle — a horizon crossing far from
+    # the warp footprint is harmless (its hat weights vanish)
+    if not kmask.any():
+        return True  # nothing ever sampled: all-zero output either way
+    ms = []
+    for dy in (-1.5, 0.0, 1.5):
+        yp = np.clip(k + dy, -2.0, in_h + 1.0)
+        den1 = Hi[1, 1] - yp * Hi[2, 1]
+        d1safe = np.where(np.abs(den1) < 1e-12, 1e-12, den1)
+        ystar = (yp * (Hi[2, 0] * Xg + Hi[2, 2])
+                 - (Hi[1, 0] * Xg + Hi[1, 2])) / d1safe
+        den2 = Hi[2, 0] * Xg + Hi[2, 1] * ystar + Hi[2, 2]
+        d2safe = np.where(np.abs(den2) < 1e-12, 1e-12, den2)
+        m = (Hi[0, 0] * Xg + Hi[0, 1] * ystar + Hi[0, 2]) / d2safe
+        # an out-of-range (or non-finite) m never gets hat weight: only
+        # points that would SAMPLE are held to the branch/conditioning rules
+        # — a wrong-branch (den2 sign flip) or ill-conditioned (den1 ~ 0)
+        # solve whose m lands in range would silently sample garbage
+        in_range = np.isfinite(m) & (np.abs(m) < in_w + 2.0)
+        live = kmask & in_range
+        bad = live & ((den2 * sgn <= 0) | (np.abs(den1) < 0.2 * scale))
+        if bad.any():
+            return False
+        ms.append((m, live))
+    both = ms[0][1] & ms[2][1]
+    if both.any():
+        drift = np.abs(ms[2][0][both] - ms[0][0][both]) / 3.0
+        if drift.max() > tilt_max:
+            return False
+    return True
 
 
 def plan_rectification(
@@ -376,9 +574,34 @@ def plan_rectification(
     # bands rounded to 64) so views bucket into few kernel variants
     view_rates = tuple(_snap_rates(a, b) for a, b in zip(v_lo, v_hi))
     view_s_max = tuple(min(_round_up(s + pad, 64), s_max) for s in v_s)
+
+    # two-pass warp eligibility: the three inverse-warp homographies per view
+    # (same construction as rect_geometry, np mirror) must each pass
+    # _twopass_ok; view bands only shift H_src_inv horizontally (translation
+    # does not move poles/tilt), so the scene-wide s_max band is checked
+    ws_r = w_r + s_max + int(s_neg)
+    twopass = True
+    for v in range(N - 1):
+        A = _K(fx_r, fy_r, 0.0, 0.0, xp=np) @ R_ri[v] @ Ki_inv
+        q = corners @ A.T
+        q = q[:, :2] / q[:, 2:3]
+        ox = -q[:, 0].min() + (w_r - 1 - (q[:, 0].max() - q[:, 0].min())) / 2
+        oy = -q[:, 1].min() + (h_r - 1 - (q[:, 1].max() - q[:, 1].min())) / 2
+        Kj = intrinsics[1 + v]
+        H_ref_inv = Ki @ R_ri[v].T @ _K_inv(fx_r, fy_r, ox, oy, xp=np)
+        H_src_inv = Kj @ R_rj[v].T @ _K_inv(fx_r, fy_r, ox + s_max, oy,
+                                            xp=np)
+        H_fwd = _K(fx_r, fy_r, ox, oy, xp=np) @ R_ri[v] @ Ki_inv
+        twopass = (twopass
+                   and _twopass_ok(H_ref_inv, h_r, w_r, h, w)
+                   and _twopass_ok(H_src_inv, h_r, ws_r, h, w)
+                   and _twopass_ok(H_fwd, h, w, h_r, w_r))
+        if not twopass:
+            break
     return RectPlan(h_r, w_r, s_max, int(s_neg), True, "",
                     rate_lo=float(lo), rate_hi=float(hi),
-                    view_rates=view_rates, view_s_max=view_s_max)
+                    view_rates=view_rates, view_s_max=view_s_max,
+                    twopass=twopass)
 
 
 def plan_union(plans) -> RectPlan:
@@ -411,7 +634,8 @@ def plan_union(plans) -> RectPlan:
         rate_hi=max(p.rate_hi for p in plans),
         view_rates=view_rates,
         view_s_max=tuple(min(max(p.view_s_max[v] for p in plans), s_max)
-                         for v in range(V)))
+                         for v in range(V)),
+        twopass=all(p.twopass for p in plans))
 
 
 def _snap_rates(rate_lo: float, rate_hi: float) -> Tuple[float, float]:
@@ -530,4 +754,9 @@ def rect_geometry(
         "oy": oy,
         "R_ri": R_ri,
         "R_rj": R_rj,
+        # the inverse-warp homographies behind the three xy grids above,
+        # for the two-pass hat-matrix warp (warp_image_twopass)
+        "H_src_inv": H_src_inv,
+        "H_ref_inv": H_ref_inv,
+        "H_fwd": H_fwd,
     }
