@@ -65,14 +65,16 @@ def rect_features(fmaps, poses, intrinsics, ii, jj, plan, feature_dtype):
     """
     B, N, h, w, C = fmaps.shape
     V = int(jj.shape[0])
-    geo = rectify.rect_geometry(poses, intrinsics, ii, jj, h, w, plan)
+    geo = rectify.rect_geometry(poses, intrinsics, ii, jj, h, w, plan,
+                                need_grids=not plan.twopass)
 
     f = fmaps.astype(jnp.float32) / 8.0  # core/corr.py:30-31 scaling
     f_ref = f[0, 0].astype(feature_dtype)
     f_src = jnp.take(f[0], jj, axis=0).astype(feature_dtype)  # (V, h, w, C)
 
     rrx, rry = geo["ref_ref_xy"]
-    rsx, rsy = geo["ref_src_xy"]
+    rsx, rsy = geo["ref_src_xy"] if geo["ref_src_xy"] is not None else (None,
+                                                                        None)
     warped = []
     for v in range(V):
         _, _, s_max_v = plan.view_params(v)
@@ -138,7 +140,7 @@ def build_corr_volume_rectified(
     org = origin[0, 0][..., None]  # (h, w, 1)
 
     rrx, rry = geo["ref_ref_xy"]
-    fwx, fwy = geo["fwd_xy"]
+    fwx, fwy = geo["fwd_xy"] if geo["fwd_xy"] is not None else (None, None)
 
     def one_view(v):
         rate_lo, rate_hi, s_max_v = plan.view_params(v)
@@ -165,7 +167,11 @@ def build_corr_volume_rectified(
             vol_rect = _resample_rows_oracle(
                 fr_rect, fs_rect, base, sigma, n_hyp, s_max_v)
         # back-warp in the volume's feature dtype: bf16 halves the HBM
-        # traffic; the resample still accumulates fp32 (both impls)
+        # traffic (quad) / MXU passes (twopass).  Accuracy class: quad keeps
+        # lerp weights fp32 and rounds taps; twopass rounds the hat weights
+        # too (~2^-9 position quantization) but chains exact fp32-accumulated
+        # matmuls — measured same order (2.4e-3 vs 3.7e-3 rel err on a
+        # smooth rotation warp)
         if plan.twopass:
             return rectify.warp_image_twopass(
                 vol_rect.astype(feature_dtype), geo["H_fwd"][v], h, w)

@@ -290,7 +290,11 @@ def warp_image_twopass(img: jnp.ndarray, H_inv: jnp.ndarray, out_h: int,
     :func:`_twopass_ok` / ``RectPlan.twopass``.
 
     ``mode`` as in :func:`warp_image`: "zero" zeroes out-of-image samples
-    (the hat support does this naturally), "clamp" edge-extends.  Returns
+    (the hat support does this naturally), "clamp" edge-extends ALONG THE
+    WARP CURVE — vertically clamped pixels sample the edge row at that
+    row's crossing position (equal to direct clamping for separable warps,
+    within O(tilt) of it near the edges otherwise; far-outside extension is
+    only faithful for gently tilted, gate-passing warps).  Returns
     fp32; bf16 inputs run bf16 matmuls (fp32 accumulation), fp32 inputs run
     HIGHEST-precision matmuls (the TPU default truncates fp32 operands).
     Position maps carry ``stop_gradient`` (reference parity: the CUDA
@@ -302,7 +306,11 @@ def warp_image_twopass(img: jnp.ndarray, H_inv: jnp.ndarray, out_h: int,
     k = homography_grid(H_inv, out_h, out_w)[1]            # (out_h, out_w)
     m = _twopass_maps(H_inv, h_s, out_w)
     if mode == "clamp":
-        m = jnp.clip(m, 0.0, w_s - 1.0)
+        # edge-extend only SANE crossings: a pole/wrong-branch row's m sits
+        # at the +-1e4 clip (or the -1e4 sentinel) — clamping that to an
+        # edge column would read the edge at full weight; keep such rows
+        # zero-weight instead (for gated warps no weighted row is ill-posed)
+        m = jnp.where(jnp.abs(m) > 9e3, -1e4, jnp.clip(m, 0.0, w_s - 1.0))
         k = jnp.clip(k, 0.0, h_s - 1.0)
     m = jax.lax.stop_gradient(m)
     k = jax.lax.stop_gradient(k)
@@ -405,7 +413,7 @@ def _round_up(v: float, m: int) -> int:
 
 
 def _twopass_ok(Hi: np.ndarray, out_h: int, out_w: int, in_h: int,
-                in_w: int, tilt_max: float = 6.0) -> bool:
+                in_w: int, tilt_max: float = 3.0) -> bool:
     """Host-side eligibility of ONE warp for :func:`warp_image_twopass`.
 
     Requires, over the evaluated domain (input rows x output columns, with a
@@ -532,6 +540,7 @@ def plan_rectification(
     w_need, h_need, s_need = 0.0, 0.0, 0.0
     rate_lo, rate_hi = np.inf, 0.0
     v_lo, v_hi, v_s = [], [], []
+    qs = []  # per-view warped ref corners, reused by the twopass gate loop
     for v in range(N - 1):
         A = _K(fx_r, fy_r, 0.0, 0.0, xp=np) @ R_ri[v] @ Ki_inv
         q = corners @ A.T
@@ -539,6 +548,7 @@ def plan_rectification(
             return RectPlan(0, 0, 0, 0, False,
                             f"rect horizon crosses ref image (view {v})")
         q = q[:, :2] / q[:, 2:3]
+        qs.append(q)
         w_need = max(w_need, q[:, 0].max() - q[:, 0].min())
         h_need = max(h_need, q[:, 1].max() - q[:, 1].min())
         # g over the warped ref image is bounded by its corner values only
@@ -576,15 +586,14 @@ def plan_rectification(
     view_s_max = tuple(min(_round_up(s + pad, 64), s_max) for s in v_s)
 
     # two-pass warp eligibility: the three inverse-warp homographies per view
-    # (same construction as rect_geometry, np mirror) must each pass
-    # _twopass_ok; view bands only shift H_src_inv horizontally (translation
-    # does not move poles/tilt), so the scene-wide s_max band is checked
+    # (np mirror of rect_geometry's construction — keep the centering formula
+    # below in sync with rect_geometry's ox/oy) must each pass _twopass_ok;
+    # view bands only shift H_src_inv horizontally (translation does not
+    # move poles/tilt), so the scene-wide s_max band is checked
     ws_r = w_r + s_max + int(s_neg)
     twopass = True
     for v in range(N - 1):
-        A = _K(fx_r, fy_r, 0.0, 0.0, xp=np) @ R_ri[v] @ Ki_inv
-        q = corners @ A.T
-        q = q[:, :2] / q[:, 2:3]
+        q = qs[v]
         ox = -q[:, 0].min() + (w_r - 1 - (q[:, 0].max() - q[:, 0].min())) / 2
         oy = -q[:, 1].min() + (h_r - 1 - (q[:, 1].max() - q[:, 1].min())) / 2
         Kj = intrinsics[1 + v]
@@ -635,7 +644,15 @@ def plan_union(plans) -> RectPlan:
         view_rates=view_rates,
         view_s_max=tuple(min(max(p.view_s_max[v] for p in plans), s_max)
                          for v in range(V)),
-        twopass=all(p.twopass for p in plans))
+        # each plan's gate sampled a 25% margin around ITS grids
+        # (_twopass_ok); the union may only keep the flag if it stays
+        # inside every constituent's gated domain
+        twopass=all(
+            p.twopass
+            and max(q.h_r for q in plans) <= 1.25 * p.h_r
+            and max(q.w_r for q in plans) <= 1.25 * p.w_r
+            and s_max <= p.s_max + 0.25 * p.ws_r
+            for p in plans))
 
 
 def _snap_rates(rate_lo: float, rate_hi: float) -> Tuple[float, float]:
@@ -666,8 +683,14 @@ def rect_geometry(
     h: int,
     w: int,
     plan: RectPlan,
+    need_grids: bool = True,
 ):
     """All per-view rectification maps, computed inside jit.
+
+    ``need_grids=False`` (the twopass-warp path) skips evaluating the two
+    largest pixel grids — ``ref_src_xy`` (V, h_r, ws_r) and ``fwd_xy`` —
+    whose warps read the homographies directly; the keys are then None.
+    (Inside jit XLA would DCE them, but eager callers pay for real.)
 
     poses: (1, N, 4, 4); intrinsics: (1, N, 3, 3) at feature stride.
     Returns a dict of arrays (leading axis V; coordinates are (x, y) PAIRS of
@@ -715,7 +738,8 @@ def rect_geometry(
 
     # rect-src array cell -> original src pixel (inverse warp)
     H_src_inv = jnp.einsum("vij,vkj,vkl->vil", Kj_mat, R_rj, Ksrc_inv)
-    ref_src_xy = homography_grid(H_src_inv, plan.h_r, plan.ws_r)
+    ref_src_xy = (homography_grid(H_src_inv, plan.h_r, plan.ws_r)
+                  if need_grids else None)
 
     # rect-ref cell -> original ref pixel
     H_ref_inv = jnp.einsum("ij,vkj,vkl->vil", _K(Ki[0, 0], Ki[1, 1],
@@ -725,7 +749,7 @@ def rect_geometry(
 
     # ref pixel -> rect-ref coords (forward map, for the volume back-warp)
     H_fwd = jnp.einsum("vij,vjk,kl->vil", Koff, R_ri, Ki_inv)
-    fwd_xy = homography_grid(H_fwd, h, w)
+    fwd_xy = homography_grid(H_fwd, h, w) if need_grids else None
 
     # g(q) = (R_ri^T . rect_ray)_3 — the THIRD COLUMN of R_ri dotted with the
     # rect-frame ray K_off^{-1} q~ (equals r3 . ref_ray when expressed on the

@@ -142,6 +142,40 @@ def test_linear_in_image_and_no_homography_grad():
     assert float(jnp.abs(g).max()) > 0.0
 
 
+def test_clamp_mode_never_samples_a_pole_rows_edge():
+    """Rows whose crossing solve degenerates (m at the +-1e4 clip) must stay
+    zero-weight in clamp mode — clamping them to column 0 would read the
+    edge column at full weight (regression: found by review on a strong-
+    perspective warp that still passes the gate)."""
+    img = np.zeros((32, 32, 1), np.float32)
+    img[:, 0, :] = 100.0  # poisoned edge column
+    img = jnp.asarray(img)
+    Hi = _rot_homography(0.05, 32, 32, persp=0.03)
+    x, y = _grids(Hi, 32, 32)
+    ref = np.asarray(rectify.warp_image(img, x, y, mode="clamp"))
+    out = np.asarray(rectify.warp_image_twopass(img, Hi, 32, 32,
+                                                mode="clamp"))
+    # wherever the true clamp-warp does NOT read the poisoned column, the
+    # two-pass warp must not either
+    far = ref < 1.0
+    assert far.any()
+    assert out[far].max() < 50.0, out[far].max()
+
+
+def test_plan_union_growth_drops_twopass():
+    """plan_union keeps twopass only while the union stays inside every
+    constituent's gated 25% margin."""
+    poses, intr, h, w = lateral_scene()
+    plan = rectify.plan_rectification(poses, intr, h, w, lambda_max=0.05)
+    assert plan.twopass
+    same = rectify.plan_union([plan, plan])
+    assert same.twopass
+    big = dataclasses.replace(plan, w_r=plan.w_r * 2, h_r=plan.h_r * 2)
+    grown = rectify.plan_union([plan, big])
+    assert not grown.twopass  # plan's gate never sampled big's domain
+    assert rectify.plan_union([big, big]).twopass  # big gated itself
+
+
 def test_gate_accepts_near_identity_rejects_quarter_turn():
     assert rectify._twopass_ok(np.eye(3), 32, 32, 32, 32)
     assert rectify._twopass_ok(
