@@ -78,16 +78,24 @@ def main():
 
     volume_fn = None
     if construction in ("rectified", "auto"):
+        import dataclasses
+
         from cermvs_tpu.ops.corr_rectified import make_rectified_volume_fn
         from cermvs_tpu.ops.rectify import plan_rectification
 
         K4 = np.asarray(intrinsics).copy()
         K4[..., :2, :] /= 4
         plan = plan_rectification(np.asarray(poses), K4, h // 4, w // 4)
+        # --warp quad|twopass: force the warp impl for A/B timing (default:
+        # the plan's own gate decision)
+        if "--warp" in sys.argv:
+            warp = sys.argv[sys.argv.index("--warp") + 1]
+            plan = dataclasses.replace(plan, twopass=(warp == "twopass"))
         if plan.ok:
             volume_fn = make_rectified_volume_fn(plan)
             print(f"construction: rectified (plan {plan.h_r}x{plan.w_r} "
-                  f"s_max={plan.s_max})", file=sys.stderr)
+                  f"s_max={plan.s_max} twopass={plan.twopass})",
+                  file=sys.stderr)
         elif construction == "rectified":
             raise RuntimeError(f"rectified plan rejected: {plan.reason}")
 
