@@ -265,8 +265,10 @@ def _twopass_maps(Hi: jnp.ndarray, h_s: int, out_w: int) -> jnp.ndarray:
 
 
 def warp_image_twopass(img: jnp.ndarray, H_inv: jnp.ndarray, out_h: int,
-                       out_w: int, mode: str = "zero", row_chunk: int = 32,
-                       col_chunk: int = 64) -> jnp.ndarray:
+                       out_w: int, mode: str = "zero",
+                       row_chunk: Optional[int] = None,
+                       col_chunk: Optional[int] = None,
+                       hat_budget: int = 384 * 1024 * 1024) -> jnp.ndarray:
     """Inverse-warp ``img`` (h_s, w_s, C) through homography ``H_inv`` as two
     1-D hat-matrix resamples (matmuls) instead of 2-D HBM gathers.
 
@@ -301,6 +303,10 @@ def warp_image_twopass(img: jnp.ndarray, H_inv: jnp.ndarray, out_h: int,
     backward never writes coordinate grads, ``correlation_kernel.cu:307``);
     image gradients flow through the transposed matmuls, with hat matrices
     rematerialized (``jax.checkpoint``) rather than saved.
+
+    ``row_chunk``/``col_chunk``: None (default) auto-selects — a single
+    unchunked einsum per pass while the hat tensor fits ``hat_budget``
+    bytes as an HBM transient, else a ``lax.map`` over chunks.
     """
     h_s, w_s, C = img.shape
     k = homography_grid(H_inv, out_h, out_w)[1]            # (out_h, out_w)
@@ -317,6 +323,17 @@ def warp_image_twopass(img: jnp.ndarray, H_inv: jnp.ndarray, out_h: int,
     cdtype = img.dtype if img.dtype == jnp.bfloat16 else jnp.float32
     prec = (jax.lax.Precision.DEFAULT if cdtype == jnp.bfloat16
             else jax.lax.Precision.HIGHEST)
+    bpe = jnp.dtype(cdtype).itemsize
+
+    # chunk sizes: None => auto.  Unchunked passes (one einsum, hat tensor
+    # as a single HBM transient) compile to 2 ops instead of a lax.map scan
+    # — with tens of warps per forward the scans dominated trace/compile
+    # time through the remote-compile tunnel; chunking only pays when the
+    # hat tensor would not fit the transient budget.
+    if row_chunk is None:
+        row_chunk = h_s if h_s * w_s * out_w * bpe <= hat_budget else 32
+    if col_chunk is None:
+        col_chunk = out_w if out_w * h_s * out_h * bpe <= hat_budget else 64
 
     hp = -(-h_s // row_chunk) * row_chunk
     imgp = jnp.pad(img, ((0, hp - h_s), (0, 0), (0, 0)))
@@ -336,9 +353,13 @@ def warp_image_twopass(img: jnp.ndarray, H_inv: jnp.ndarray, out_h: int,
         return tmp.astype(cdtype)
 
     n_r = hp // row_chunk
-    tmp = jax.lax.map(row_body, (imgp.reshape(n_r, row_chunk, w_s, C),
-                                 mp.reshape(n_r, row_chunk, out_w)))
-    tmp = tmp.reshape(hp, out_w, C).transpose(1, 0, 2)     # (out_w, hp, C)
+    if n_r == 1:
+        tmp = row_body((imgp, mp))
+    else:
+        tmp = jax.lax.map(row_body, (imgp.reshape(n_r, row_chunk, w_s, C),
+                                     mp.reshape(n_r, row_chunk, out_w)))
+        tmp = tmp.reshape(hp, out_w, C)
+    tmp = tmp.transpose(1, 0, 2)                           # (out_w, hp, C)
 
     wp = -(-out_w // col_chunk) * col_chunk
     tmpp = jnp.pad(tmp, ((0, wp - out_w), (0, 0), (0, 0)))
@@ -354,9 +375,13 @@ def warp_image_twopass(img: jnp.ndarray, H_inv: jnp.ndarray, out_h: int,
                           preferred_element_type=jnp.float32, precision=prec)
 
     n_c = wp // col_chunk
-    out = jax.lax.map(col_body, (tmpp.reshape(n_c, col_chunk, hp, C),
-                                 kT.reshape(n_c, col_chunk, out_h)))
-    return out.reshape(wp, out_h, C)[:out_w].transpose(1, 0, 2)
+    if n_c == 1:
+        out = col_body((tmpp, kT))
+    else:
+        out = jax.lax.map(col_body, (tmpp.reshape(n_c, col_chunk, hp, C),
+                                     kT.reshape(n_c, col_chunk, out_h)))
+        out = out.reshape(wp, out_h, C)
+    return out[:out_w].transpose(1, 0, 2)
 
 
 # ---------------------------------------------------------------------------

@@ -142,6 +142,19 @@ def test_linear_in_image_and_no_homography_grad():
     assert float(jnp.abs(g).max()) > 0.0
 
 
+@pytest.mark.parametrize("mode", ["zero", "clamp"])
+def test_chunked_matches_unchunked(mode):
+    """Explicit row/col chunking (the over-budget path) is bit-equal to the
+    single-einsum path (fp32 HIGHEST: same products, same order per output)."""
+    rng = np.random.RandomState(7)
+    img = jnp.asarray(rng.randn(24, 40, 3).astype(np.float32))
+    Hi = _rot_homography(0.1, 24, 40, persp=1e-4)
+    one = rectify.warp_image_twopass(img, Hi, 28, 44, mode=mode)
+    chk = rectify.warp_image_twopass(img, Hi, 28, 44, mode=mode,
+                                     row_chunk=8, col_chunk=16)
+    np.testing.assert_array_equal(np.asarray(one), np.asarray(chk))
+
+
 def test_clamp_mode_never_samples_a_pole_rows_edge():
     """Rows whose crossing solve degenerates (m at the +-1e4 clip) must stay
     zero-weight in clamp mode — clamping them to column 0 would read the
