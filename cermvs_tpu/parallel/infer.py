@@ -34,15 +34,30 @@ from cermvs_tpu.ops.geometry import relative_projection
 
 
 def view_sharded_forward(model, params, images, poses, intrinsics, scale,
-                         mesh: Mesh):
+                         mesh: Mesh, plan=None):
     """Test-mode forward with neighbor views sharded over ``mesh``'s 'view'
     axis.  Same contract as ``model.apply`` in test mode: returns (B, h, w)
     scaled disparity.
 
     Only ``aggregation=('mean',)`` is supported (the reference default).
+
+    ``plan``: an accepted :class:`cermvs_tpu.ops.rectify.RectPlan` switches
+    the per-shard partial volumes to the rectified construction (the fast
+    path).  shard_map traces ONE program for every shard, so the per-view
+    static kernel windows are widened to the plan's scene-wide bounds
+    (``view_rates`` cleared); requires B == 1 like the unsharded path.
     """
     assert tuple(model.aggregation) == ("mean",), \
         "view sharding requires mean aggregation (the reference default)"
+    if plan is not None and not plan.ok:
+        plan = None
+    if plan is not None:
+        assert images.shape[0] == 1, "rectified view sharding requires B==1"
+        import dataclasses
+
+        # one traced program serves every shard: per-view static windows
+        # cannot differ across shards, so fall back to scene-wide bounds
+        plan = dataclasses.replace(plan, view_rates=(), view_s_max=())
     n_shards = mesh.shape["view"]
     B, N, H, W, _ = images.shape
     V = N - 1
@@ -69,9 +84,21 @@ def view_sharded_forward(model, params, images, poses, intrinsics, scale,
         [jnp.ones((V,), jnp.float32), jnp.zeros((pad,), jnp.float32)])
     src_images = jnp.concatenate(
         [images[:, 1:], jnp.zeros((B, pad, H, W, 3), images.dtype)], axis=1)
+    # raw per-view poses/intrinsics for the rectified construction; padded
+    # slots REPLICATE the last real view (identity poses would put a zero
+    # baseline through rect_geometry and poison the psum with NaNs — the
+    # pads' features are zeroed, so any valid geometry contributes nothing)
+    src_poses = jnp.concatenate(
+        [poses[:, 1:], jnp.broadcast_to(poses[:, N - 1:N],
+                                        (B, pad, 4, 4))], axis=1)
+    src_K = jnp.concatenate(
+        [intrinsics[:, 1:], jnp.broadcast_to(intrinsics[:, N - 1:N],
+                                             (B, pad, 3, 3))], axis=1)
     # (shards, per_shard, ...) so shard_map splits the leading axis
     src_images = jnp.moveaxis(src_images, 1, 0)
     Pij_s = jnp.moveaxis(Pij, 1, 0)
+    src_poses = jnp.moveaxis(src_poses, 1, 0)
+    src_K = jnp.moveaxis(src_K, 1, 0)
 
     def cnet_fn(m, x):
         return m.cnet(x)
@@ -90,11 +117,13 @@ def view_sharded_forward(model, params, images, poses, intrinsics, scale,
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P("view"), P("view"), P("view")),
+        in_specs=(P(), P(), P(), P(), P("view"), P("view"), P("view"),
+                  P("view"), P("view")),
         out_specs=P(),
         check_vma=False,
     )
-    def run(params, ref_image, src_images_l, Pij_l, weight_l):
+    def run(params, ref_image, ref_pose, ref_K, src_images_l, Pij_l,
+            poses_l, K_l, weight_l):
         # src_images_l: (V_local, B, H, W, 3); weight_l: (V_local,)
         V_local = src_images_l.shape[0]
         net_inp = model.apply(params, ref_image, method=cnet_fn)
@@ -102,19 +131,37 @@ def view_sharded_forward(model, params, images, poses, intrinsics, scale,
         inp = jax.nn.relu(net_inp[..., dim_net:])
 
         # encode local neighbor frames serially (memory-bounded)
-        f_src = jax.lax.map(
+        f_src_raw = jax.lax.map(
             lambda img: model.apply(params, img, method=fnet_fn),
             src_images_l)  # (V_local, B, h, w, C)
         f_ref1 = model.apply(params, ref_image, method=fnet_fn)  # (B, h, w, C)
 
-        f_src = jnp.moveaxis(f_src, 0, 1).astype(jnp.float32) / 8.0
         # zero padded views' FEATURES (the encoder of a zero image is not
         # zero) so their volume contribution vanishes under the view sum
-        f_src = f_src * weight_l[None, :, None, None, None]
+        f_src_raw = (jnp.moveaxis(f_src_raw, 0, 1)
+                     * weight_l[None, :, None, None, None].astype(
+                         f_src_raw.dtype))  # (B, V_local, h, w, C)
+        f_src = f_src_raw.astype(jnp.float32) / 8.0
         f_ref = jnp.broadcast_to(
             (f_ref1.astype(jnp.float32) / 8.0)[:, None], f_src.shape)
         Pij_bl = jnp.moveaxis(Pij_l, 0, 1)  # (B, V_local, 4, 4)
         w_sum = jax.lax.psum(jnp.sum(weight_l), "view")
+
+        if plan is not None:
+            from cermvs_tpu.ops.corr_rectified import (
+                build_corr_volume_rectified, rect_features)
+
+            fmaps_local = jnp.concatenate(
+                [f_ref1[:, None], f_src_raw], axis=1)  # (1, 1+V_local, ...)
+            poses_local = jnp.concatenate(
+                [ref_pose, jnp.moveaxis(poses_l, 0, 1)], axis=1)
+            K_local = jnp.concatenate(
+                [ref_K, jnp.moveaxis(K_l, 0, 1)], axis=1)
+            ii_l = jnp.zeros(V_local, jnp.int32)
+            jj_l = jnp.arange(1, V_local + 1, dtype=jnp.int32)
+            # pose-dependent, stage-independent warps computed once
+            rect_ctx = rect_features(fmaps_local, poses_local, K_local,
+                                     ii_l, jj_l, plan, model.dtype)
 
         disp = jnp.zeros((B, h, w, 1), jnp.float32)
         impl = model.lookup_impl
@@ -127,10 +174,17 @@ def view_sharded_forward(model, params, images, poses, intrinsics, scale,
             # into the global view-mean volume — the per-iteration psum of
             # lookup features collapses to this single collective because the
             # lookup is linear and its index is view-independent.
-            vol_local = corr_ops.build_corr_volume_from(
-                f_ref, f_src, Pij_bl, origin, n_hyp, incre,
-                hyp_chunk=model.hyp_chunk, mean_over_views=True,
-                gather_dtype=model.dtype) * V_local
+            if plan is not None:
+                vol_local = build_corr_volume_rectified(
+                    fmaps_local, poses_local, K_local, ii_l, jj_l, origin,
+                    n_hyp, incre, plan, mean_over_views=True,
+                    gather_dtype=model.dtype, zero_slab=(stage == 0),
+                    rect_ctx=rect_ctx) * V_local
+            else:
+                vol_local = corr_ops.build_corr_volume_from(
+                    f_ref, f_src, Pij_bl, origin, n_hyp, incre,
+                    hyp_chunk=model.hyp_chunk, mean_over_views=True,
+                    gather_dtype=model.dtype) * V_local
             vol = jax.lax.psum(vol_local, "view") / w_sum
             levels = (corr_ops.build_pyramid(vol, num_levels)
                       if impl != "pallas" else [vol])
@@ -152,5 +206,6 @@ def view_sharded_forward(model, params, images, poses, intrinsics, scale,
 
         return disp[..., 0]
 
-    out = run(params, images[:, 0], src_images, Pij_s, view_weight)
+    out = run(params, images[:, 0], poses[:, :1], intrinsics[:, :1],
+              src_images, Pij_s, src_poses, src_K, view_weight)
     return out * scale[..., 0]

@@ -59,12 +59,12 @@ class InferenceRunner:
         self._warned_fallback = False
         self._jax = jax
 
-    def _rect_model(self, poses, intrinsics, scale, img_shape):
-        """Host-side per-sample plan -> model with the rectified volume_fn
-        (None when the exact path must be used)."""
-        from cermvs_tpu.models.raft import RAFT
-        from cermvs_tpu.ops.corr_rectified import make_rectified_volume_fn
-        from cermvs_tpu.ops.rectify import plan_rectification
+    def _plan_for(self, poses, intrinsics, scale, img_shape,
+                  mem_shards: int = 1):
+        """Host-side per-sample rectification plan (not-ok when the exact
+        path must be used).  ``mem_shards``: how many chips the view axis is
+        split over — the persistent warped-feature budget is per chip."""
+        from cermvs_tpu.ops.rectify import RectPlan, plan_rectification
 
         f = self.model.stride_factor
         poses = np.asarray(poses, np.float64).copy()
@@ -75,20 +75,29 @@ class InferenceRunner:
             poses, intr, img_shape[0] // f, img_shape[1] // f,
             lambda_max=self.rect_lambda_max)
         if plan.ok:
-            from cermvs_tpu.ops.rectify import RectPlan
-
             V = poses.shape[0] - 1
             C = self.model.dim_fmap
-            rect_bytes = 2 * V * plan.h_r * (plan.w_r + plan.ws_r) * C
+            rect_bytes = (2 * V * plan.h_r * (plan.w_r + plan.ws_r) * C
+                          // max(mem_shards, 1))
             if rect_bytes > self.rect_memory_budget:
                 plan = RectPlan(0, 0, 0, 0, False,
                                 f"rect features ~{rect_bytes / 1e9:.1f} GB "
                                 f"exceed budget")
+        if not plan.ok and (self.construction == "rectified"
+                            and not self._warned_fallback):
+            print(f"[inference] rectified construction unavailable "
+                  f"({plan.reason}); using exact path")
+            self._warned_fallback = True
+        return plan
+
+    def _rect_model(self, poses, intrinsics, scale, img_shape):
+        """Host-side per-sample plan -> model with the rectified volume_fn
+        (None when the exact path must be used)."""
+        from cermvs_tpu.models.raft import RAFT
+        from cermvs_tpu.ops.corr_rectified import make_rectified_volume_fn
+
+        plan = self._plan_for(poses, intrinsics, scale, img_shape)
         if not plan.ok:
-            if self.construction == "rectified" and not self._warned_fallback:
-                print(f"[inference] rectified construction unavailable "
-                      f"({plan.reason}); using exact path")
-                self._warned_fallback = True
             return None, None
         if plan not in self._rect_models:
             self._rect_models[plan] = RAFT(
@@ -116,9 +125,11 @@ class InferenceRunner:
             if self.mesh is not None:
                 from cermvs_tpu.parallel.infer import view_sharded_forward
 
+                # under a mesh, ``key`` is the (hashable) RectPlan selecting
+                # the sharded rectified construction, or None for exact
                 self._cache[cache_key] = jax.jit(
                     lambda p, im, po, k, s: view_sharded_forward(
-                        model, p, im, po, k, s, self.mesh))
+                        model, p, im, po, k, s, self.mesh, plan=key))
             else:
                 self._cache[cache_key] = jax.jit(
                     lambda p, im, po, k, s: model.apply(p, im, po, k, s))
@@ -139,10 +150,11 @@ class InferenceRunner:
         poses = np.asarray(poses, np.float32)
         intrinsics = np.asarray(intrinsics, np.float32)
         model, key = None, None
-        # rectified construction requires B==1 (one ref view per forward) and
-        # an unsharded model: view_batch>1 / mesh runs use the exact path
+        # rectified construction requires B==1 (one ref view per forward);
+        # view_batch>1 runs use the exact path.  Under a mesh the plan is
+        # handed to view_sharded_forward (scene-wide kernel windows).
         if (self.construction in ("rectified", "auto")
-                and images.shape[0] == 1 and self.mesh is None):
+                and images.shape[0] == 1):
             # canonicalize neighbor order by baseline: view aggregation is
             # permutation-invariant (mean/max/std over views), and sorted
             # neighbors make per-view-bucketed plans (RectPlan.view_rates)
@@ -151,8 +163,14 @@ class InferenceRunner:
             order = self._neighbor_order(poses[0])
             images, poses, intrinsics = (a[:, order] for a in
                                          (images, poses, intrinsics))
-            model, key = self._rect_model(
-                poses[0], intrinsics[0], scales[0], images[0].shape[1:3])
+            if self.mesh is None:
+                model, key = self._rect_model(
+                    poses[0], intrinsics[0], scales[0], images[0].shape[1:3])
+            else:
+                plan = self._plan_for(
+                    poses[0], intrinsics[0], scales[0], images[0].shape[1:3],
+                    mem_shards=int(self.mesh.shape.get("view", 1)))
+                key = plan if plan.ok else None
         im = jnp.asarray(images.astype(jnp.bfloat16))
         po = jnp.asarray(poses)
         k = jnp.asarray(intrinsics)

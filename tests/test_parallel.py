@@ -44,6 +44,69 @@ def test_view_sharded_matches_single(rng, n_frames):
                                rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.parametrize("n_frames", [9, 6])  # V=8 (even) and V=5 (padded)
+def test_view_sharded_rectified_matches_single(rng, n_frames):
+    """Sharded partial volumes built by the RECTIFIED construction (scene-
+    wide kernel windows, one traced program per shard) must match the
+    unsharded rectified forward; padded shards replicate a real view's pose
+    (zero-weight features) rather than an identity pose (NaN geometry)."""
+    import dataclasses
+
+    from cermvs_tpu.ops.corr_rectified import make_rectified_volume_fn
+    from cermvs_tpu.ops.rectify import plan_rectification
+
+    images, poses, intr = _scene(rng, N=n_frames)
+    K4 = np.asarray(intr).copy()
+    K4[..., :2, :] /= 4.0
+    H, W = images.shape[2:4]
+    plan = plan_rectification(np.asarray(poses), K4, H // 4, W // 4)
+    assert plan.ok, plan.reason
+    plan_sw = dataclasses.replace(plan, view_rates=(), view_s_max=())
+
+    model = RAFT(cascade=TINY, hyp_chunk=4, dtype=jnp.float32,
+                 test_mode=True)
+    scale = jnp.ones((1,))
+    params = model.init(jax.random.PRNGKey(0), images, poses, intr, scale)
+    m_rect = RAFT(cascade=TINY, hyp_chunk=4, dtype=jnp.float32,
+                  test_mode=True,
+                  volume_fn=make_rectified_volume_fn(plan_sw))
+    ref = m_rect.apply(params, images, poses, intr, scale)
+
+    mesh = make_mesh(n_data=1, n_view=8)
+    out = view_sharded_forward(model, params, images, poses, intr, scale,
+                               mesh, plan=plan)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_runner_mesh_rectified_matches_unsharded(rng):
+    """InferenceRunner(mesh=..., construction='auto') routes B==1 views
+    through the sharded RECTIFIED construction and must agree with the
+    unsharded runner."""
+    from cermvs_tpu.pipeline.inference import InferenceRunner
+
+    images, poses, intr = _scene(rng, N=6)
+    model = RAFT(cascade=TINY, hyp_chunk=4, dtype=jnp.float32,
+                 test_mode=True)
+    scale = 1.0
+    params = model.init(jax.random.PRNGKey(0), images, poses, intr,
+                        jnp.ones((1,)))
+    kw = dict(cascade=TINY, hyp_chunk=4, dtype=jnp.float32)
+    single = InferenceRunner(params, construction="auto", **kw)
+    mesh = make_mesh(n_data=1, n_view=8)
+    sharded = InferenceRunner(params, mesh=mesh, construction="auto", **kw)
+    # the runner must actually select a rectified plan for this scene
+    plan = sharded._plan_for(np.asarray(poses[0]), np.asarray(intr[0]),
+                             scale, images.shape[2:4], mem_shards=8)
+    assert plan.ok, plan.reason
+    d_single = single(np.asarray(images[0]), np.asarray(poses[0]),
+                      np.asarray(intr[0]), scale)
+    d_sharded = sharded(np.asarray(images[0]), np.asarray(poses[0]),
+                        np.asarray(intr[0]), scale)
+    np.testing.assert_allclose(d_sharded, d_single, rtol=1e-3, atol=1e-3)
+
+
 def test_view_sharded_on_two_shards(rng):
     model = RAFT(cascade=((4, 64, 1),), hyp_chunk=4, dtype=jnp.float32,
                  test_mode=True)
