@@ -170,3 +170,32 @@ def test_full_raft_parity_train_mode(ref_raft, rng):
         params, jnp.asarray(images), jnp.asarray(poses), jnp.asarray(intr)))
     assert out.shape == ref_out.shape
     np.testing.assert_allclose(out, ref_out, rtol=1e-3, atol=1e-4)
+
+
+def test_import_checkpoint_cli_roundtrip(ref_raft, tmp_path):
+    """scripts/import_checkpoint.py: .pth -> orbax dir -> load_params."""
+    import torch
+    import jax
+
+    from cermvs_tpu.training.checkpoint import load_params
+    from cermvs_tpu.utils.torch_import import convert_raft
+
+    sys.path.insert(0, "/root/repo/scripts")
+    import import_checkpoint
+
+    torch.manual_seed(5)
+    tmodel = ref_raft.RAFT(cascade=[(8, 64, 2), (-1, 320, 2)]).eval()
+    # DataParallel-style "module." prefix, as the released checkpoints have
+    sd = {f"module.{k}": v for k, v in tmodel.state_dict().items()}
+    pth = tmp_path / "ref.pth"
+    torch.save(sd, pth)
+
+    out_dir = tmp_path / "imported"
+    import_checkpoint.main([str(pth), str(out_dir)])
+
+    restored = load_params(out_dir)
+    expected = convert_raft(
+        {k: v.detach().numpy() for k, v in tmodel.state_dict().items()})
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
+        restored, expected)
