@@ -58,6 +58,10 @@ def dtu_ring_poses(n, rs):
 
 
 def main():
+    from cermvs_tpu.utils.relay import require_tpu_relay
+
+    require_tpu_relay()  # jax.devices() hangs (not errors) when the relay is down
+
     import jax
     import jax.numpy as jnp
     from cermvs_tpu.models.raft import RAFT

@@ -25,6 +25,10 @@ BASELINE_STEPS_PER_SEC_PER_CHIP = 0.21
 
 
 def main():
+    from cermvs_tpu.utils.relay import require_tpu_relay
+
+    require_tpu_relay()  # jax.devices() hangs (not errors) when the relay is down
+
     import jax
     import jax.numpy as jnp
 

@@ -58,3 +58,44 @@ def test_view_timer(capsys):
     with t2.view("x"):
         pass
     assert t2.summary() == {}
+
+
+def test_relay_probe_gating(monkeypatch):
+    """require_tpu_relay is a no-op for CPU-forced runs and exits(2) when the
+    axon backend would be used but the relay is unreachable."""
+    import pytest
+
+    from cermvs_tpu.utils import relay
+
+    # no pool IPs -> axon never registers -> no-op regardless of relay state
+    monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)
+    relay.require_tpu_relay()
+
+    # explicit CPU run -> no-op
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "")
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    relay.require_tpu_relay()
+
+    # axon run with relay down -> SystemExit(2), BEFORE any jax device touch
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "127.0.0.1")
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    monkeypatch.setattr(relay, "tpu_relay_up", lambda timeout=10.0: False)
+    with pytest.raises(SystemExit) as ei:
+        relay.require_tpu_relay()
+    assert ei.value.code == 2
+
+    # relay up -> proceeds
+    monkeypatch.setattr(relay, "tpu_relay_up", lambda timeout=10.0: True)
+    relay.require_tpu_relay()
+
+
+def test_relay_probe_connect_refused():
+    """A connection-refused port reads as down; an HTTP error as up."""
+    from cermvs_tpu.utils import relay
+
+    old = relay.RELAY_HEALTH_URL
+    try:
+        relay.RELAY_HEALTH_URL = "http://127.0.0.1:1/health"
+        assert not relay.tpu_relay_up(timeout=2.0)
+    finally:
+        relay.RELAY_HEALTH_URL = old
