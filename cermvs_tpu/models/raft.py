@@ -193,9 +193,12 @@ class RAFT(nn.Module):
                 zero_slab=(stage == 0),
             )
             Vv = 1 if self.mean_volume else V
+            # loop-invariant GRU gate contributions of the context features:
+            # computed once per stage, closed over by the scan body
+            g_ctx = self.update_block.gru_ctx(inp, stage)
 
             def body(mdl, carry, _, _pyr=pyr, _inp=inp, _stage=stage,
-                     _Vv=Vv):
+                     _Vv=Vv, _gctx=g_ctx):
                 net, disp = carry
                 disp = jax.lax.stop_gradient(disp)
                 zinv = jnp.broadcast_to(
@@ -203,7 +206,7 @@ class RAFT(nn.Module):
                 corr_frames = corr_ops.lookup(
                     _pyr, zinv, mdl.radius, impl=mdl.lookup_impl)
                 net, delta = mdl.update_block(
-                    net, _inp, disp, corr_frames, _stage)
+                    net, _inp, disp, corr_frames, _stage, gru_ctx=_gctx)
                 disp = disp + delta
                 return (net, disp), disp
 

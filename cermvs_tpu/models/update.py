@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import Any, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -27,25 +28,103 @@ from cermvs_tpu.config import configurable
 from cermvs_tpu.models.extractor import kaiming_out
 
 
+class _ConvP(nn.Module):
+    """Parameter holder with ``nn.Conv``'s exact tree ({kernel, bias}) and
+    init, but no fixed application: the GRU slices/concatenates these kernels
+    to fuse gates and hoist loop-invariant input channels (see ConvGRU)."""
+
+    features: int
+    in_features: int
+    kernel: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", kaiming_out,
+            (self.kernel, self.kernel, self.in_features, self.features),
+            jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return k, b
+
+
+def _conv2d(x, w, precision=None):
+    """NHWC same-padding conv (matches ``nn.Conv(padding=k//2)``)."""
+    p = (w.shape[0] // 2, w.shape[0] // 2)
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), (p, p),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision)
+
+
 class ConvGRU(nn.Module):
-    """z/r/q convolutional gates (``core/update.py:9-25``)."""
+    """z/r/q convolutional gates (``core/update.py:9-25``).
+
+    Parameters are bit-identical to three separate ``nn.Conv`` layers over
+    ``[net, inp]`` (and ``[r*net, inp]`` for q) — the torch checkpoint
+    mapping is unchanged — but application is restructured for the MXU:
+
+    * the z and r convolutions share their input, so their kernels are
+      concatenated into ONE conv with ``2*h_planes`` output channels
+      (separate 64-channel outputs pad to 128 lanes and waste half the MXU);
+    * the ``static_planes`` leading channels of ``inp`` (the context
+      features, constant across GRU iterations — ``core/raft.py:57-60``
+      computes them once) can be pre-reduced OUTSIDE the iteration scan via
+      :meth:`ctx`, removing their K-columns (and all three gate biases) from
+      the per-iteration convs.
+
+    Numerics: per output channel the reduction is split at the static/dynamic
+    channel boundary and re-associated (one extra rounding in the carried
+    dtype); gate fusion itself is exact.
+    """
 
     h_planes: int
+    static_planes: int
+    dyn_planes: int
     kernel: int = 3
     dtype: Any = jnp.bfloat16
 
-    @nn.compact
-    def __call__(self, net, inp):
-        k = (self.kernel, self.kernel)
-        pad = self.kernel // 2
-        net_inp = jnp.concatenate([net, inp], axis=-1)
-        conv = lambda name: nn.Conv(
-            self.h_planes, k, padding=pad, kernel_init=kaiming_out,
-            dtype=self.dtype, name=name,
-        )
-        z = nn.sigmoid(conv("convz")(net_inp))
-        r = nn.sigmoid(conv("convr")(net_inp))
-        q = nn.tanh(conv("convq")(jnp.concatenate([r * net, inp], axis=-1)))
+    def setup(self):
+        cin = self.h_planes + self.static_planes + self.dyn_planes
+        mk = lambda nm: _ConvP(self.h_planes, cin, self.kernel, name=nm)
+        self.convz = mk("convz")
+        self.convr = mk("convr")
+        self.convq = mk("convq")
+
+    def _gate_kernels(self):
+        h, s = self.h_planes, self.static_planes
+        parts = []
+        for kern, bias in (self.convz(), self.convr(), self.convq()):
+            parts.append((kern[:, :, :h], kern[:, :, h:h + s],
+                          kern[:, :, h + s:], bias))
+        return parts
+
+    def ctx(self, inp_static):
+        """Loop-invariant gate contributions: one conv of the static context
+        channels against all three gates' matching kernel columns, biases
+        folded in. Returns (B, H, W, 3*h_planes) in compute dtype."""
+        parts = self._gate_kernels()
+        w = jnp.concatenate([p[1] for p in parts], axis=-1)
+        b = jnp.concatenate([p[3] for p in parts])
+        dt = self.dtype
+        return _conv2d(inp_static.astype(dt), w.astype(dt)) + b.astype(dt)
+
+    def __call__(self, net, dyn, ctx):
+        """net (B,H,W,h); dyn (B,H,W,dyn_planes) = the per-iteration gru
+        input channels (disparity context + corr encoding); ctx from
+        :meth:`ctx` on the static context channels."""
+        dt = self.dtype
+        parts = self._gate_kernels()
+        h = self.h_planes
+        wzr = jnp.concatenate(
+            [jnp.concatenate([p[0], p[2]], axis=2) for p in parts[:2]],
+            axis=-1)  # (k, k, h + dyn, 2h)
+        net_dyn = jnp.concatenate([net, dyn], axis=-1)
+        zr = nn.sigmoid(_conv2d(net_dyn, wzr.astype(dt)) + ctx[..., :2 * h])
+        z, r = zr[..., :h], zr[..., h:]
+        wq = jnp.concatenate([parts[2][0], parts[2][2]], axis=2)
+        q = nn.tanh(
+            _conv2d(jnp.concatenate([r * net, dyn], axis=-1), wq.astype(dt))
+            + ctx[..., 2 * h:])
         return (1 - z) * net + z * q
 
 
@@ -127,9 +206,12 @@ class UpdateBlock(nn.Module):
             lambda nm: _TwoConv(self.dim0_corr, self.dim1_corr, 1,
                                 self.kernel_corr, True, dt, name=nm),
             "corr_encoder")
+        dyn = self.size_disp_enc ** 2 + self.dim1_corr
         self.grus = per_stage(
             self.share_gru,
-            lambda nm: ConvGRU(h_planes=self.dim_net, dtype=dt, name=nm),
+            lambda nm: ConvGRU(h_planes=self.dim_net,
+                               static_planes=self.dim_inp, dyn_planes=dyn,
+                               dtype=dt, name=nm),
             "gru")
         self.deltas = per_stage(
             self.share_delta,
@@ -137,9 +219,20 @@ class UpdateBlock(nn.Module):
                                 self.kernel1_delta, False, dt, name=nm),
             "delta")
 
-    def __call__(self, net, inp, disp, corr_frames, stage: int):
+    def gru_ctx(self, inp, stage: int):
+        """Loop-invariant GRU gate contributions of the context features —
+        compute ONCE per cascade stage, outside the iteration scan
+        (``core/raft.py:57-60``: the context encoder runs once; its gate
+        convolutions need not rerun every iteration either)."""
+        return self.grus[stage if not self.share_gru else 0].ctx(
+            inp.astype(self.dtype))
+
+    def __call__(self, net, inp, disp, corr_frames, stage: int,
+                 gru_ctx=None):
         """net/inp: (B, H, W, dim); disp: (B, H, W, 1) fp32;
-        corr_frames: (B, V, H, W, cor_planes) fp32. Returns (net, delta)."""
+        corr_frames: (B, V, H, W, cor_planes) fp32; gru_ctx: optional
+        precomputed :meth:`gru_ctx` (else computed here, per call).
+        Returns (net, delta)."""
         dt = self.dtype
         dctx = (100.0 * disp_context(disp, self.size_disp_enc)).astype(dt)
 
@@ -157,17 +250,20 @@ class UpdateBlock(nn.Module):
             # this trace touches (linen creates params lazily on first call)
             for enc in self.corr_encoders[1:]:
                 enc(corr)
-            gi = jnp.concatenate([inp.astype(dt), dctx,
-                                  jnp.zeros(corr.shape[:-1] + (self.dim1_corr,), dt)],
-                                 axis=-1)
+            gd = jnp.concatenate(
+                [dctx, jnp.zeros(corr.shape[:-1] + (self.dim1_corr,), dt)],
+                axis=-1)
             for g in self.grus[1:]:
-                g(net.astype(dt), gi)
+                g(net.astype(dt), gd, g.ctx(inp.astype(dt)))
             for d in self.deltas[1:]:
                 d(net.astype(dt))
 
         corr = self.corr_encoders[stage if not self.share_corr else 0](corr)
-        gru_inp = jnp.concatenate([inp.astype(dt), dctx, corr], axis=-1)
-        net = self.grus[stage if not self.share_gru else 0](net.astype(dt), gru_inp)
+        if gru_ctx is None:
+            gru_ctx = self.gru_ctx(inp, stage)
+        dyn = jnp.concatenate([dctx, corr], axis=-1)
+        net = self.grus[stage if not self.share_gru else 0](
+            net.astype(dt), dyn, gru_ctx)
         d = self.deltas[stage if not self.share_delta else 0](net)
         delta = 0.01 * d.astype(jnp.float32)
         return net, delta

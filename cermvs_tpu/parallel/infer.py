@@ -106,8 +106,11 @@ def view_sharded_forward(model, params, images, poses, intrinsics, scale,
     def fnet_fn(m, x):
         return m.fnet(x)
 
-    def update_fn(m, net, inp, disp, corr, stage):
-        return m.update_block(net, inp, disp, corr, stage)
+    def update_fn(m, net, inp, disp, corr, stage, gctx):
+        return m.update_block(net, inp, disp, corr, stage, gru_ctx=gctx)
+
+    def gru_ctx_fn(m, inp, stage):
+        return m.update_block.gru_ctx(inp, stage)
 
     def stage_params(stage: int) -> Tuple[int, float, int]:
         n_hyp, n_div, n_iters = model.cascade[stage]
@@ -192,13 +195,16 @@ def view_sharded_forward(model, params, images, poses, intrinsics, scale,
                 levels=levels, origin=origin, incre=incre, n_hyp=n_hyp,
                 num_levels=num_levels)
 
+            # loop-invariant context gate contributions, hoisted out of scan
+            g_ctx = model.apply(params, inp, stage, method=gru_ctx_fn)
+
             def body(carry, _):
                 net, disp = carry
                 zinv = jnp.broadcast_to(disp[..., 0][:, None], (B, 1, h, w))
                 corr_mean = corr_ops.lookup(pyr, zinv, radius, impl=impl)
                 net2, delta = model.apply(
                     params, net, inp, disp, corr_mean, stage,
-                    method=update_fn)
+                    method=update_fn, gctx=g_ctx)
                 return (net2, disp + delta), ()
 
             (net, disp), _ = jax.lax.scan(

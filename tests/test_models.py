@@ -68,14 +68,48 @@ def test_encoder_param_count_matches_reference_arch():
     assert n_params(params) == expected
 
 
+def test_conv_gru_matches_naive_three_conv(rng):
+    """The fused/hoisted ConvGRU equals the reference formulation — three
+    separate convs over ``[net, inp]`` (q over ``[r*net, inp]``), biases in
+    every gate (``core/update.py:9-25``) — on the same parameters."""
+    from cermvs_tpu.models.update import _conv2d
+
+    h, s, d = 8, 4, 8
+    gru = ConvGRU(h_planes=h, static_planes=s, dyn_planes=d,
+                  dtype=jnp.float32)
+    net = jnp.asarray(np.tanh(rng.randn(2, 6, 6, h)).astype(np.float32))
+    sta = jnp.asarray(rng.randn(2, 6, 6, s).astype(np.float32))
+    dyn = jnp.asarray(rng.randn(2, 6, 6, d).astype(np.float32))
+    params = gru.init(jax.random.PRNGKey(3), sta, method=ConvGRU.ctx)
+    ctx = gru.apply(params, sta, method=ConvGRU.ctx)
+    out = gru.apply(params, net, dyn, ctx)
+
+    p = params["params"]
+    inp = jnp.concatenate([sta, dyn], axis=-1)
+    net_inp = jnp.concatenate([net, inp], axis=-1)
+
+    def gate(name, x):
+        return _conv2d(x, p[name]["kernel"]) + p[name]["bias"]
+
+    z = jax.nn.sigmoid(gate("convz", net_inp))
+    r = jax.nn.sigmoid(gate("convr", net_inp))
+    q = jnp.tanh(gate("convq", jnp.concatenate([r * net, inp], axis=-1)))
+    ref = (1 - z) * net + z * q
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_conv_gru_interpolates(rng):
     """GRU output is a convex combination: with q bounded in [-1,1], output
     stays within [min(net,-1), max(net,1)]."""
-    gru = ConvGRU(h_planes=8, dtype=jnp.float32)
+    gru = ConvGRU(h_planes=8, static_planes=4, dyn_planes=8,
+                  dtype=jnp.float32)
     net = jnp.asarray(np.tanh(rng.randn(1, 6, 6, 8)).astype(np.float32))
-    inp = jnp.asarray(rng.randn(1, 6, 6, 12).astype(np.float32))
-    params = gru.init(jax.random.PRNGKey(0), net, inp)
-    out = gru.apply(params, net, inp)
+    sta = jnp.asarray(rng.randn(1, 6, 6, 4).astype(np.float32))
+    dyn = jnp.asarray(rng.randn(1, 6, 6, 8).astype(np.float32))
+    params = gru.init(jax.random.PRNGKey(0), sta, method=ConvGRU.ctx)
+    ctx = gru.apply(params, sta, method=ConvGRU.ctx)
+    out = gru.apply(params, net, dyn, ctx)
     assert out.shape == net.shape
     assert np.abs(np.asarray(out)).max() <= 1.0 + 1e-5
 
