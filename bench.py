@@ -3,15 +3,22 @@
 Runs the flagship cascaded-RAFT forward (test mode) on synthetic inputs shaped
 like the reference's DTU low-res pass (num_frames=10 neighbors + ref at
 1152x1600, cascade (64,64,8)/(44,320,8) — ``configs/inference_DTU.gin`` +
-``core/raft.py:14``) and reports throughput.
+``core/raft.py:14``) and reports throughput, then runs one DTU-shaped
+training step (batch 2, 1056x1440 crop, rectified construction) so the
+driver artifact covers training too.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line.  Headline fields {"metric", "value", "unit",
+"vs_baseline"} are the inference number; extra fields carry MFU/FLOPs
+(XLA cost model, ``cermvs_tpu/utils/flops.py``) and the train-step metric.
+Pass ``--no-train`` to skip the training section.
 
 Baseline: the reference publishes no per-view latency (BASELINE.md) — the
 ``do_report`` timer at ``/root/reference/inference.py:52-56`` is the only
 instrument.  We use 0.5 depth-maps/sec (2 s/view on the reference's RTX 3090
 class hardware for this configuration) as the comparison point; vs_baseline =
-ours / 0.5.
+ours / 0.5.  That 0.5 is an ASSUMPTION, not a measurement — the JSON says so
+(``baseline_note``).  The training baseline IS derived from published data:
+216,090 steps / 6 days on 2 GPUs => 0.21 steps/s/chip (BASELINE.md).
 
 Camera geometry mirrors the DTU rig (cameras on a ~600 mm sphere looking at
 the object — mostly-lateral pairwise baselines), so the default
@@ -122,12 +129,91 @@ def main():
     dt = (time.perf_counter() - t0) / iters
 
     maps_per_sec = 1.0 / dt
-    print(json.dumps({
-        "metric": "depth-maps/sec/chip (DTU 1152x1600 nf10 synthetic)",
+
+    from cermvs_tpu.utils.flops import device_peak_flops, flops_of, mfu
+
+    fwd_flops = flops_of(fwd, params, images, poses, intrinsics, scale)
+    result = {
+        "metric": f"depth-maps/sec/chip (DTU {h}x{w} nf{n-1} synthetic)",
         "value": round(maps_per_sec, 4),
         "unit": "maps/s",
         "vs_baseline": round(maps_per_sec / BASELINE_MAPS_PER_SEC, 3),
-    }))
+        "baseline_note": "0.5 maps/s is an ASSUMED RTX-3090 figure (the "
+                         "reference publishes no latency); train baseline "
+                         "0.21 steps/s/chip is derived from its README",
+        "device_kind": jax.devices()[0].device_kind,
+    }
+    if fwd_flops is not None:
+        result["inference_gflops_per_map"] = round(fwd_flops / 1e9, 1)
+        m = mfu(fwd_flops, dt)
+        if m is not None:
+            result["inference_mfu"] = round(m, 4)
+            result["peak_tflops_bf16"] = device_peak_flops() / 1e12
+
+    if "--no-train" not in sys.argv and not small:
+        result.update(train_bench())
+
+    print(json.dumps(result))
+
+
+def train_bench(batch=2, H=1056, W=1440, N=11):
+    """One DTU-shaped training step (rectified construction), timed; returns
+    metric fields for the combined JSON line.  Mirrors bench_train.py."""
+    import jax
+    import jax.numpy as jnp
+
+    from cermvs_tpu.models.raft import RAFT
+    from cermvs_tpu.ops.corr_rectified import make_rectified_volume_fn
+    from cermvs_tpu.ops.rectify import plan_rectification, plan_union
+    from cermvs_tpu.training.optim import fetch_optimizer
+    from cermvs_tpu.training.step import init_state, make_train_step
+    from cermvs_tpu.utils.flops import flops_of, mfu
+
+    rng = np.random.RandomState(0)
+    K = np.array([[2892.0 * W / 1600, 0, W / 2], [0, 2892.0 * W / 1600, H / 2],
+                  [0, 0, 1]], np.float32)
+    poses = np.stack([dtu_ring_poses(N, np.random.RandomState(1 + b))
+                      for b in range(batch)])
+    batch_data = {
+        "images": jnp.asarray((rng.rand(batch, N, H, W, 3) * 255).astype(np.float32)),
+        "depths": jnp.asarray((rng.rand(batch, N, H, W) * 400 + 400).astype(np.float32)),
+        "poses": jnp.asarray(poses),
+        "intrinsics": jnp.asarray(np.tile(K, (batch, N, 1, 1))),
+    }
+    K4 = np.tile(K, (N, 1, 1)).copy()
+    K4[:, :2] /= 4.0
+    plan = plan_union([plan_rectification(poses[b], K4, H // 4, W // 4)
+                       for b in range(batch)])
+    model_kw = {"volume_fn": make_rectified_volume_fn(plan)} if plan.ok else {}
+    tag = " rectified" if plan.ok else " exact"
+
+    model = RAFT(hyp_chunk=8, **model_kw)
+    tx, _ = fetch_optimizer(num_steps=1000)
+    state = init_state(model, tx, jax.random.PRNGKey(0), batch_data)
+    step = make_train_step(model, tx, donate=False)
+
+    state, metrics = step(state, batch_data, 0.5)
+    _ = float(metrics["loss"])
+    iters = 2
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, batch_data, 0.5)
+        _ = float(metrics["loss"])
+    dt = (time.perf_counter() - t0) / iters
+
+    out = {
+        "train_metric": f"train steps/s/chip (DTU {H}x{W} b{batch} nf{N-1}{tag})",
+        "train_value": round(1.0 / dt, 4),
+        "train_unit": "steps/s",
+        "train_vs_baseline": round(1.0 / dt / 0.21, 3),
+    }
+    step_flops = flops_of(step, state, batch_data, 0.5)
+    if step_flops is not None:
+        out["train_gflops_per_step"] = round(step_flops / 1e9, 1)
+        m = mfu(step_flops, dt)
+        if m is not None:
+            out["train_mfu"] = round(m, 4)
+    return out
 
 
 if __name__ == "__main__":

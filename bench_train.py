@@ -82,10 +82,19 @@ def main():
               file=sys.stderr)
         model_kw["volume_fn"] = make_rectified_volume_fn(plan)
 
+    mesh = None
+    if "--data-parallel" in argv:
+        from cermvs_tpu.parallel.mesh import make_mesh
+        from cermvs_tpu.training.step import shard_batch
+
+        mesh = make_mesh(n_data=len(jax.devices()), n_view=1)
+
     model = RAFT(hyp_chunk=8, **model_kw)
     tx, _ = fetch_optimizer(num_steps=1000)
     state = init_state(model, tx, jax.random.PRNGKey(0), batch_data)
-    step = make_train_step(model, tx, donate=False)
+    step = make_train_step(model, tx, mesh=mesh, donate=False)
+    if mesh is not None:
+        batch_data = shard_batch(batch_data, mesh)
 
     state, metrics = step(state, batch_data, 0.5)
     _ = float(metrics["loss"])  # force completion
@@ -99,12 +108,21 @@ def main():
 
     sps = 1.0 / dt
     tag = "" if construction == "exact" else f" {construction}"
-    print(json.dumps({
+    out = {
         "metric": f"train steps/s/chip (DTU {H}x{W} b{batch} nf{N-1}{tag})",
         "value": round(sps, 4),
         "unit": "steps/s",
         "vs_baseline": round(sps / BASELINE_STEPS_PER_SEC_PER_CHIP, 3),
-    }))
+    }
+    from cermvs_tpu.utils.flops import flops_of, mfu
+
+    step_flops = flops_of(step, state, batch_data, 0.5)
+    if step_flops is not None:
+        out["gflops_per_step"] = round(step_flops / 1e9, 1)
+        m = mfu(step_flops, dt)
+        if m is not None:
+            out["mfu"] = round(m, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -680,6 +680,37 @@ def plan_union(plans) -> RectPlan:
             for p in plans))
 
 
+def pack_plan(plan: RectPlan, n_views: int) -> np.ndarray:
+    """Encode a RectPlan as a flat float64 vector for cross-process exchange
+    (multi-host training computes per-host plans from LOCAL batches; the
+    hosts allgather packed plans and each takes the same :func:`plan_union`
+    so every process compiles the identical step).  ``n_views`` = number of
+    neighbor views (len(jj)); a plan without per-view refinements packs the
+    scene-wide values.  Inverse: :func:`unpack_plan`."""
+    head = [float(plan.ok), plan.h_r, plan.w_r, plan.s_max, plan.s_neg,
+            plan.rate_lo, plan.rate_hi, float(plan.twopass)]
+    if plan.ok and plan.view_rates:
+        pv = [x for v in range(n_views)
+              for x in (*plan.view_rates[v], plan.view_s_max[v])]
+    else:
+        pv = [plan.rate_lo, plan.rate_hi, plan.s_max] * n_views
+    return np.asarray(head + pv, np.float64)
+
+
+def unpack_plan(vec: np.ndarray, n_views: int) -> RectPlan:
+    """Inverse of :func:`pack_plan` (the ``reason`` string is not carried)."""
+    vec = np.asarray(vec, np.float64)
+    if vec[0] == 0.0:
+        return RectPlan(0, 0, 0, 0, False, "remote plan not ok")
+    pv = vec[8:].reshape(n_views, 3)
+    return RectPlan(
+        int(vec[1]), int(vec[2]), int(vec[3]), int(vec[4]), True, "",
+        rate_lo=float(vec[5]), rate_hi=float(vec[6]),
+        view_rates=tuple((float(a), float(b)) for a, b, _ in pv),
+        view_s_max=tuple(int(s) for _, _, s in pv),
+        twopass=bool(vec[7]))
+
+
 def _snap_rates(rate_lo: float, rate_hi: float) -> Tuple[float, float]:
     """Outward-snap a rate interval to a multiplicative grid.
 

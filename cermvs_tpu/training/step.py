@@ -45,8 +45,19 @@ def make_train_step(model, tx, mesh: Optional[Mesh] = None, donate: bool = True)
 
     Batch dict: images (B,N,H,W,3), depths (B,N,H,W), poses (B,N,4,4),
     intrinsics (B,N,3,3); gradual_weight scalar (curriculum, train.py:76-79).
-    With a mesh, the batch is sharded over the ``data`` axis and the
-    params/optimizer state are replicated.
+
+    With a mesh, the gradient computation runs under ``shard_map`` over the
+    (data, view) axes: each device applies the model to its LOCAL batch
+    shard only, then grads/loss are ``pmean``-reduced over ICI.  This — not
+    GSPMD sharding of a global-batch graph — is what lets per-sample host
+    constructions (the rectified volume builder's static python loop over
+    samples, ``ops/corr_rectified.py:189-210``) run per-local-sample: under
+    GSPMD the builder's ``fmaps[b:b+1]`` slices cross shard boundaries and
+    serialize.  The loss is a uniform mean over (B, H, W)
+    (``training/loss.py:55-57``), so pmean over equal shards is exactly the
+    global loss; the valid-masked metrics are reweighted by local/global
+    valid-pixel counts before psum so they too match the single-device
+    values bitwise-modulo reduction order.
     """
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], gradual_weight):
@@ -69,10 +80,50 @@ def make_train_step(model, tx, mesh: Optional[Mesh] = None, donate: bool = True)
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
+    axes = ("data", "view")
+    data_spec = P(axes)
+
+    def local_grads(params, batch, gradual_weight):
+        def loss_fn(params):
+            preds = model.apply(
+                {"params": params}, batch["images"], batch["poses"],
+                batch["intrinsics"])
+            disp_gt = disp_ground_truth(batch["depths"])
+            return sequence_loss(preds, disp_gt, gradual_weight)
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params)
+        loss = jax.lax.pmean(loss, axes)
+        grads = jax.lax.pmean(grads, axes)
+        # sequence_loss normalizes its metrics by the LOCAL shard's valid
+        # count; reweight by local/global counts so psum gives the exact
+        # global metric
+        denom = jnp.maximum(
+            (batch["depths"][:, 0] > 0).sum().astype(jnp.float32), 1.0)
+        w = denom / jax.lax.psum(denom, axes)
+        metrics = {k: jax.lax.psum(v * w, axes) for k, v in metrics.items()}
+        return loss, metrics, grads
+
+    sharded_grads = jax.shard_map(
+        local_grads, mesh=mesh,
+        in_specs=(P(), data_spec, P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False)
+
+    def dp_step_fn(state: TrainState, batch, gradual_weight):
+        loss, metrics, grads = sharded_grads(
+            state.params, batch, jnp.asarray(gradual_weight, jnp.float32))
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(state.step + 1, params, opt_state), metrics
+
     repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P(("data", "view")))
+    data = NamedSharding(mesh, data_spec)
     return jax.jit(
-        step_fn,
+        dp_step_fn,
         in_shardings=(repl, data, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,) if donate else (),

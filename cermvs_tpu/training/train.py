@@ -65,30 +65,43 @@ def train(
     # a rectification plan — the exact gather path's construction fwd+bwd is
     # ~70% of the step (benchmarks/profile_train_parts.py).  Per-batch
     # host-side plans bucket into few compiled variants (snapped grids);
-    # non-rectifiable batches fall back to the exact step.  Single-process
-    # only: under a data mesh the per-sample loop would slice the sharded
-    # batch axis, so rectified is skipped there.
+    # non-rectifiable batches fall back to the exact step.  Works under the
+    # data mesh too: the shard_map step (training/step.py) applies the model
+    # per LOCAL shard, so the builder's static per-sample loop never slices
+    # the sharded axis.  Multi-host: per-host plans (computed from the LOCAL
+    # batch) are allgathered and every host takes the same plan_union, so
+    # all processes compile the identical step.
     _rect_steps = {}
 
     def pick_step(batch):
-        if construction != "rectified" or mesh is not None:
+        """Choose the compiled step from the HOST batch (call before
+        shard_batch — plans need concrete numpy poses)."""
+        if construction != "rectified":
             return step_fn
         from cermvs_tpu.ops.corr_rectified import make_rectified_volume_fn
-        from cermvs_tpu.ops.rectify import plan_rectification, plan_union
+        from cermvs_tpu.ops.rectify import (
+            pack_plan, plan_rectification, plan_union, unpack_plan)
 
         poses_np = np.asarray(batch["poses"], np.float64)
         intr_np = np.asarray(batch["intrinsics"], np.float64).copy()
         f = model.stride_factor
         intr_np[..., :2, :] /= f
         H, W = batch["images"].shape[2:4]
+        n_views = poses_np.shape[1] - 1
         plan = plan_union(
             plan_rectification(poses_np[b], intr_np[b], H // f, W // f)
             for b in range(poses_np.shape[0]))
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            vecs = multihost_utils.process_allgather(
+                pack_plan(plan, n_views))
+            plan = plan_union(unpack_plan(v, n_views) for v in vecs)
         if not plan.ok:
             return step_fn
         if plan not in _rect_steps:
             m = RAFT(volume_fn=make_rectified_volume_fn(plan))
-            _rect_steps[plan] = make_train_step(m, tx, mesh=None)
+            _rect_steps[plan] = make_train_step(m, tx, mesh=mesh)
         return _rect_steps[plan]
 
     logger = Logger(name, lr_fn=schedule, SUM_FREQ=log_every,
@@ -101,11 +114,12 @@ def train(
 
     while total_steps <= num_steps:
         for batch in loader:
+            chosen = pick_step(batch)  # host-side plan BEFORE sharding
             if mesh is not None:
                 batch = shard_batch(batch, mesh)
             gw = (fix_gradual_weight if fix_gradual_weight is not None
                   else total_steps / num_steps)
-            state, metrics = pick_step(batch)(state, batch, jnp.float32(gw))
+            state, metrics = chosen(state, batch, jnp.float32(gw))
             total_steps += 1
 
             logger.push({k: float(v) for k, v in metrics.items()})

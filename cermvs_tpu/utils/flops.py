@@ -1,0 +1,89 @@
+"""FLOP counting and MFU (model-FLOPs-utilization) accounting.
+
+The reference ships no FLOP instrumentation at all (its only timer is the
+``do_report`` block at ``/root/reference/inference.py:52-56``); MFU is the
+yardstick a TPU framework is judged by, so we compute it first-class.
+
+FLOPs come from XLA's own cost model (``Compiled.cost_analysis()`` /
+``Lowered.cost_analysis()``): the count is of the *compiled* program — after
+fusion and simplification — which is exactly the work the chip executes, and
+it covers convs, matmuls, and the Pallas-adjacent XLA glue alike.  Pallas
+kernel bodies are opaque to the HLO cost model, so programs dominated by
+custom kernels under-count slightly; for this model the construction matmuls
+inside the epiband kernel are a small fraction of total conv FLOPs (the
+encoders + GRU convs dominate), and the resulting MFU is a lower bound.
+
+Peak FLOP/s per chip are the published bf16 numbers for each TPU generation;
+MFU = achieved FLOP/s / peak.
+"""
+from __future__ import annotations
+
+# Published peak dense bf16 FLOP/s per chip, keyed by substrings of
+# jax.Device.device_kind.  Order matters: first match wins.
+_PEAK_BF16 = (
+    ("v6e", 918e12),
+    ("v6 lite", 918e12),
+    ("v5p", 459e12),
+    ("v5e", 197e12),
+    ("v5 lite", 197e12),
+    ("v4", 275e12),
+    ("v3", 123e12),
+    ("v2", 45e12),
+)
+
+
+def device_peak_flops(device=None) -> float | None:
+    """Peak dense bf16 FLOP/s of *device* (default: jax.devices()[0]), or
+    None if the chip generation is unknown (e.g. the CPU backend)."""
+    import jax
+
+    if device is None:
+        device = jax.devices()[0]
+    kind = getattr(device, "device_kind", "").lower()
+    for key, peak in _PEAK_BF16:
+        if key in kind:
+            return peak
+    return None
+
+
+def compiled_flops(compiled_or_lowered) -> float | None:
+    """Total FLOPs of one execution of a compiled/lowered jax computation,
+    from XLA's cost model.  Returns None if the backend exposes no cost
+    analysis (seen on some remote-execution backends)."""
+    for obj in (compiled_or_lowered,):
+        try:
+            ca = obj.cost_analysis()
+        except Exception:
+            continue
+        if ca is None:
+            continue
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else None
+        if isinstance(ca, dict) and "flops" in ca:
+            return float(ca["flops"])
+    return None
+
+
+def flops_of(jitted_fn, *args, **kwargs) -> float | None:
+    """FLOPs of ``jitted_fn(*args, **kwargs)``: tries the compiled
+    executable's cost analysis first (backend cost model), then the
+    lowered-HLO analysis (backend-independent)."""
+    try:
+        lowered = jitted_fn.lower(*args, **kwargs)
+    except Exception:
+        return None
+    try:
+        f = compiled_flops(lowered.compile())
+        if f is not None:
+            return f
+    except Exception:
+        pass
+    return compiled_flops(lowered)
+
+
+def mfu(total_flops: float | None, seconds: float, device=None) -> float | None:
+    """Achieved-fraction-of-peak for *total_flops* executed in *seconds*."""
+    peak = device_peak_flops(device)
+    if total_flops is None or peak is None or seconds <= 0:
+        return None
+    return total_flops / seconds / peak

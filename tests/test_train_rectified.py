@@ -34,6 +34,53 @@ def _batches(n_batches, B=2, n=3, H=32, W=64, forward_motion=False):
     return out
 
 
+def test_train_step_dp_rectified_matches_single():
+    """8-way data-parallel rectified step == single-device rectified step.
+
+    The shard_map step (training/step.py) applies the model to each LOCAL
+    shard, so the rectified builder's static per-sample loop runs per-shard
+    (1 sample/device here) instead of slicing the sharded batch axis;
+    pmean'd grads must reproduce the single-device update (SGD: linear in
+    the gradient)."""
+    import jax
+    import optax
+
+    from cermvs_tpu.models.raft import RAFT
+    from cermvs_tpu.ops.corr_rectified import make_rectified_volume_fn
+    from cermvs_tpu.ops.rectify import plan_rectification, plan_union
+    from cermvs_tpu.parallel.mesh import make_mesh
+    from cermvs_tpu.training.step import init_state, make_train_step, shard_batch
+
+    B, H, W = 8, 32, 64
+    batch = _batches(1, B=B, H=H, W=W)[0]
+    f = 4  # RAFT.stride_factor
+    poses_np = np.asarray(batch["poses"], np.float64)
+    intr_np = np.asarray(batch["intrinsics"], np.float64).copy()
+    intr_np[..., :2, :] /= f
+    plan = plan_union(
+        plan_rectification(poses_np[b], intr_np[b], H // f, W // f)
+        for b in range(B))
+    assert plan.ok, plan.reason
+
+    model = RAFT(cascade=((4, 64, 1),), hyp_chunk=4, dtype=jnp.float32,
+                 volume_fn=make_rectified_volume_fn(plan))
+    tx = optax.sgd(1e-3)
+    state = init_state(model, tx, jax.random.PRNGKey(0), batch)
+
+    single = make_train_step(model, tx, donate=False)
+    s1, m1 = single(state, batch, 0.5)
+
+    mesh = make_mesh(n_data=8, n_view=1)
+    dp = make_train_step(model, tx, mesh=mesh, donate=False)
+    s2, m2 = dp(state, shard_batch(batch, mesh), 0.5)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-6)
+
+
 @pytest.mark.parametrize("forward_motion", [False, True])
 def test_train_loop_rectified(tmp_path, monkeypatch, forward_motion):
     clear_config()
