@@ -159,10 +159,15 @@ class _TwoConv(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, row_mask=None):
         x = nn.Conv(self.dim0, (self.k0,) * 2, padding=self.k0 // 2,
                     kernel_init=kaiming_out, dtype=self.dtype, name="conv1")(x)
         x = nn.relu(x)
+        if row_mask is not None:
+            # row-sharded callers: zero the out-of-image ghost rows between
+            # the convs (conv1's bias makes them nonzero even on zero input)
+            # so conv2 sees the unsharded model's zero padding there
+            x = x * row_mask.astype(x.dtype)
         x = nn.Conv(self.dim1, (self.k1,) * 2, padding=self.k1 // 2,
                     kernel_init=kaiming_out, dtype=self.dtype, name="conv2")(x)
         return nn.relu(x) if self.final_relu else x
@@ -228,11 +233,15 @@ class UpdateBlock(nn.Module):
             inp.astype(self.dtype))
 
     def __call__(self, net, inp, disp, corr_frames, stage: int,
-                 gru_ctx=None):
+                 gru_ctx=None, row_mask=None):
         """net/inp: (B, H, W, dim); disp: (B, H, W, 1) fp32;
         corr_frames: (B, V, H, W, cor_planes) fp32; gru_ctx: optional
         precomputed :meth:`gru_ctx` (else computed here, per call).
-        Returns (net, delta)."""
+        ``row_mask`` (B, H, 1, 1): row-sharded callers (parallel/spatial.py)
+        run this block on a block of rows EXTENDED by ghost rows; rows
+        beyond the global image must enter every convolution as zeros (the
+        unsharded model's SAME padding) — the mask zeroes them at each conv
+        input.  Returns (net, delta)."""
         dt = self.dtype
         dctx = (100.0 * disp_context(disp, self.size_disp_enc)).astype(dt)
 
@@ -258,13 +267,21 @@ class UpdateBlock(nn.Module):
             for d in self.deltas[1:]:
                 d(net.astype(dt))
 
-        corr = self.corr_encoders[stage if not self.share_corr else 0](corr)
+        mk = None if row_mask is None else row_mask.astype(dt)
+        corr = self.corr_encoders[stage if not self.share_corr else 0](
+            corr if mk is None else corr * mk, row_mask=row_mask)
         if gru_ctx is None:
             gru_ctx = self.gru_ctx(inp, stage)
         dyn = jnp.concatenate([dctx, corr], axis=-1)
+        if mk is not None:
+            dyn = dyn * mk
+        net = net.astype(dt)
         net = self.grus[stage if not self.share_gru else 0](
-            net.astype(dt), dyn, gru_ctx)
-        d = self.deltas[stage if not self.share_delta else 0](net)
+            net if mk is None else net * mk, dyn, gru_ctx)
+        if mk is not None:
+            net = net * mk
+        d = self.deltas[stage if not self.share_delta else 0](
+            net, row_mask=row_mask)
         delta = 0.01 * d.astype(jnp.float32)
         return net, delta
 

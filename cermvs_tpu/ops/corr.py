@@ -104,11 +104,14 @@ def _gather_corr_chunk(f_ref, f_quads, coords, H, W):
     in_y1 = ((iy + 1 >= 0) & (iy + 1 <= H - 1)).astype(f_ref.dtype)
 
     # mode="clip": indices are pre-clipped; the default 'fill' mode would
-    # materialize an extra full-size select buffer
+    # materialize an extra full-size select buffer.  The ref grid's own dims
+    # come from coords (they may be a ROW SLICE of the source grid —
+    # row-sharded callers); H/W clamp against the SOURCE dims above.
+    Hr, Wr = x.shape[-2:]
     g = jnp.take_along_axis(
-        f_quads, idx.reshape(B, V, K * H * W)[..., None], axis=2,
+        f_quads, idx.reshape(B, V, K * Hr * Wr)[..., None], axis=2,
         mode="clip")
-    g = g.reshape(B, V, K, H, W, 4 * C)
+    g = g.reshape(B, V, K, Hr, Wr, 4 * C)
     dot = lambda q: jnp.einsum(
         "bvkhwc,bvhwc->bvkhw", g[..., q * C : (q + 1) * C],
         f_ref.astype(g.dtype), preferred_element_type=jnp.float32)
@@ -150,6 +153,11 @@ def build_corr_volume_from(
     locally-sharded V slices.  Hypothesis chunks run under ``lax.map`` so the
     transient gather buffers stay at (B*V*chunk*H*W*C) regardless of D.
 
+    f_ref may carry a ROW SLICE of the reference view (row-sharded callers,
+    ``parallel/spatial.py``): source gathers clamp against f_src's own
+    dims, and the caller encodes the slice's global row offset into ``Pij``
+    (right-multiply by a homogeneous y-translation).
+
     ``mean_over_views=True`` returns the view-AVERAGED volume (B, 1, H, W, D).
     Because the lookup is linear in the volume and its index depends only on
     the (shared) reference disparity, ``mean_v lookup(vol_v) ==
@@ -166,6 +174,7 @@ def build_corr_volume_from(
     inputs are bf16-valued is unknowable cheaply, so callers opt in.
     """
     B, V, H, W, C = f_ref.shape
+    Hs, Ws = f_src.shape[2:4]  # source dims (gather clamp targets)
 
     n_chunks = max(1, math.ceil(n_hyp / hyp_chunk))
     padded = n_chunks * hyp_chunk
@@ -181,7 +190,7 @@ def build_corr_volume_from(
             disps = origin[:, :, None, :, :] + offs[None, None, :, None, None]
             coords = apply_projection(pij, disps)
             coords = jax.lax.stop_gradient(coords)
-            return _gather_corr_chunk(fr, fquads, coords, H, W)
+            return _gather_corr_chunk(fr, fquads, coords, Hs, Ws)
 
         if n_chunks == 1:
             corr = one_chunk(offsets[0])[:, :, None]

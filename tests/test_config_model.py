@@ -2,6 +2,7 @@
 LR encoder variant must run end to end."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -37,6 +38,7 @@ def test_update_block_config_binding():
     cfg.clear_config()
 
 
+@pytest.mark.slow
 def test_raft_lr_encoder_forward(rng):
     model = RAFT(cascade=((4, 64, 1),), encoder_type="LR", hyp_chunk=4,
                  dtype=jnp.float32, test_mode=True)

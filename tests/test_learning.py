@@ -3,6 +3,7 @@ depth error down substantially — functional evidence for the whole training
 stack (volume -> lookups -> GRU -> loss -> AdamW) without real datasets."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -51,6 +52,7 @@ def make_plane_batch(rng, B=2, H=48, W=64, n_views=2, zmin=20.0, zmax=40.0,
     }
 
 
+@pytest.mark.slow
 def test_overfits_synthetic_planes(rng):
     # slab: incre = 0.0025/0.5 = 0.005; stage0 spans [0, 0.075] covering
     # inverse depths of Z in [20, 40] (0.025..0.05)

@@ -21,6 +21,7 @@ def _scene(rng, B=1, N=4, H=24, W=32):
     return jnp.asarray(images), jnp.asarray(poses), jnp.asarray(intr)
 
 
+@pytest.mark.slow
 def test_ops_level_identity(rng):
     """mean_v lookup(vol_v, x0) == lookup(mean_v vol_v, x0)."""
     B, N, h, w, C, D = 1, 4, 8, 10, 16, 16
@@ -55,6 +56,7 @@ def test_ops_level_identity(rng):
                                rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("test_mode", [False, True])
 def test_model_level_identity(rng, test_mode):
     images, poses, intr = _scene(rng)

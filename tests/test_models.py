@@ -26,6 +26,7 @@ def test_instance_norm_matches_torch(rng):
     np.testing.assert_allclose(ours, tref, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_encoder_hr_shapes(rng):
     enc = BasicEncoder(output_dim=64, norm_fn="instance", type="HR",
                        dtype=jnp.float32)
@@ -124,6 +125,7 @@ def test_disp_context_matches_unfold(rng):
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_update_block_shapes(rng):
     ub = UpdateBlock(cascade=((8, 64, 2), (-1, 320, 2)), dtype=jnp.float32)
     B, V, H, W = 1, 3, 8, 10
@@ -154,6 +156,7 @@ def _tiny_scene(rng, B=1, N=3, H=32, W=48):
 TINY_CASCADE = ((8, 64, 2), (-1, 320, 2))
 
 
+@pytest.mark.slow
 def test_raft_train_forward(rng):
     model = RAFT(cascade=TINY_CASCADE, hyp_chunk=4, dtype=jnp.float32)
     images, poses, intr = _tiny_scene(rng)
@@ -163,6 +166,7 @@ def test_raft_train_forward(rng):
     assert np.isfinite(np.asarray(preds)).all()
 
 
+@pytest.mark.slow
 def test_raft_test_mode(rng):
     model = RAFT(cascade=TINY_CASCADE, hyp_chunk=4, dtype=jnp.float32,
                  test_mode=True)
@@ -174,6 +178,7 @@ def test_raft_test_mode(rng):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_raft_scan_matches_unrolled(rng):
     """The nn.scan path must be numerically identical to the unrolled loop."""
     images, poses, intr = _tiny_scene(rng)
@@ -189,6 +194,7 @@ def test_raft_scan_matches_unrolled(rng):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_raft_gradients_flow(rng):
     images, poses, intr = _tiny_scene(rng, H=16, W=16)
     model = RAFT(cascade=((4, 64, 2),), hyp_chunk=4, dtype=jnp.float32)

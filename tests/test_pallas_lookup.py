@@ -17,6 +17,7 @@ def _interpret():
         yield
 
 
+@pytest.mark.slow
 def test_fused_matches_banded(rng):
     B, V, H, W, D = 1, 2, 8, 8, 64
     corr = jnp.asarray(rng.randn(B, V, H, W, D).astype(np.float32))
@@ -29,6 +30,7 @@ def test_fused_matches_banded(rng):
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_fused_d44(rng):
     """Stage-1 hypothesis count (non-power-of-two pooling boundary)."""
     B, V, H, W, D = 1, 1, 4, 4, 44
@@ -40,6 +42,7 @@ def test_fused_d44(rng):
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_fused_grad_matches_banded(rng):
     B, V, H, W, D = 1, 1, 4, 6, 16
     corr = jnp.asarray(rng.randn(B, V, H, W, D).astype(np.float32))

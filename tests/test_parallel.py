@@ -10,6 +10,8 @@ from cermvs_tpu.models.raft import RAFT
 from cermvs_tpu.parallel.infer import view_sharded_forward
 from cermvs_tpu.parallel.mesh import make_mesh
 
+pytestmark = pytest.mark.slow
+
 TINY = ((8, 64, 2), (-1, 320, 2))
 
 

@@ -48,6 +48,7 @@ class PlaneScene(Dataset):
         return images, poses, intr, names, 1.0
 
 
+@pytest.mark.slow
 def test_inference_writes_pfm(tmp_path):
     scene = PlaneScene(n=3, H=32, W=32, num_frames=2)
     loader = DataLoader(scene, batch_size=None, num_workers=0)
@@ -111,6 +112,7 @@ def test_fusion_plane_scene(tmp_path):
     assert rgb.dtype == np.uint8
 
 
+@pytest.mark.slow
 def test_inference_view_batched(tmp_path):
     """view_batch>1 must write identical PFMs as one-view-at-a-time."""
     scene = PlaneScene(n=5, H=32, W=32, num_frames=2)

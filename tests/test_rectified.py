@@ -61,6 +61,7 @@ def _pairs(n):
     return jnp.zeros(n - 1, jnp.int32), jnp.arange(1, n, dtype=jnp.int32)
 
 
+@pytest.mark.slow
 def test_sample_position_identity():
     """rect-frame sample position == exact projective sample position."""
     poses, intr, h, w = general_scene()
@@ -106,6 +107,7 @@ def test_sample_position_identity():
                 psrc, np.asarray(exact[0, v, li]), atol=2e-3)
 
 
+@pytest.mark.slow
 def test_lateral_motion_volume_exact():
     """Pure lateral baselines: rectified volume == exact volume (lossless)."""
     poses, intr, h, w = lateral_scene()
@@ -130,6 +132,7 @@ def test_lateral_motion_volume_exact():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_lateral_motion_per_view():
     poses, intr, h, w = lateral_scene()
     N = poses.shape[1]
@@ -150,6 +153,7 @@ def test_lateral_motion_per_view():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_general_poses_smooth_features():
     """General rotations: resampling is lossy but small on smooth features."""
     poses, intr, h, w = general_scene(h=16, w=48)
@@ -226,6 +230,7 @@ def test_planner_grid_shapes():
     assert fy.min() > 0 and fy.max() < plan.h_r - 1
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mode", ["zero", "clamp"])
 def test_warp_image_quad_matches_taps(mode):
     """Packed corner-quad gathers (one descriptor/pixel) must equal the
@@ -251,6 +256,7 @@ def test_warp_image_quad_matches_taps(mode):
                                rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
 class TestEpibandKernel:
     """Fused Pallas kernel vs the XLA oracle resampler (interpret mode)."""
 
@@ -406,6 +412,7 @@ class TestEpibandKernel:
         assert float(jnp.abs(g[3]).max()) == 0.0  # d_sigma
 
 
+@pytest.mark.slow
 class TestRectifiedTraining:
     """Differentiable rectified construction for the TRAIN path."""
 
@@ -510,6 +517,7 @@ class TestRectifiedTraining:
                 assert ulo <= lo and uhi >= hi and usm >= sm
 
 
+@pytest.mark.slow
 class TestInferenceRunnerIntegration:
     """construction="auto"/"rectified" through the inference driver."""
 

@@ -10,6 +10,8 @@ import cermvs_tpu.data as data_mod
 from cermvs_tpu.config import bind_parameter, clear_config
 from cermvs_tpu.training.train import train
 
+pytestmark = pytest.mark.slow
+
 
 def _batches(n_batches, B=2, n=3, H=32, W=64, forward_motion=False):
     K = np.array([[40.0, 0, W / 2], [0, 40.0, H / 2], [0, 0, 1]], np.float32)

@@ -53,6 +53,7 @@ def torch_sequence_loss(disp_est, disp_gt, gradual_weight, gamma=0.9,
     }
 
 
+@pytest.mark.slow
 def test_sequence_loss_matches_reference(rng):
     T, B, h, w, H, W = 3, 2, 4, 6, 8, 12
     est = (rng.rand(T, B, h, w).astype(np.float32) * 0.2 + 1e-3)
@@ -111,6 +112,7 @@ def _tiny_batch(rng, B=2, N=3, H=32, W=48):
 TINY = ((8, 64, 2), (-1, 320, 2))
 
 
+@pytest.mark.slow
 def test_train_step_runs_and_improves(rng):
     model = RAFT(cascade=TINY, hyp_chunk=4, dtype=jnp.float32)
     tx, _ = fetch_optimizer(num_steps=50, lr=1e-3)
@@ -126,6 +128,7 @@ def test_train_step_runs_and_improves(rng):
     assert losses[-1] < losses[0]  # overfits a fixed batch
 
 
+@pytest.mark.slow
 def test_train_step_data_parallel_matches_single(rng):
     """8-way data-parallel step must produce the same update as single-device.
 
@@ -153,6 +156,7 @@ def test_train_step_data_parallel_matches_single(rng):
                                    atol=1e-6)
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path, rng):
     from cermvs_tpu.training.checkpoint import CheckpointManager
 

@@ -61,6 +61,7 @@ def _rot_homography(angle, h, w, persp=0.0):
     return _H(T @ R @ np.linalg.inv(T))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mode", ["zero", "clamp"])
 @pytest.mark.parametrize("t", [(3.0, -2.0), (0.25, 0.6), (-1.75, 10.4)])
 def test_separable_translation_matches_quad(mode, t):
@@ -74,6 +75,7 @@ def test_separable_translation_matches_quad(mode, t):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mode", ["zero", "clamp"])
 def test_separable_affine_scale_matches_quad(mode):
     rng = np.random.RandomState(1)
@@ -86,6 +88,7 @@ def test_separable_affine_scale_matches_quad(mode):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_rotation_error_scales_with_smoothness():
     rng = np.random.RandomState(2)
     Hi = _rot_homography(0.12, 48, 64, persp=1e-4)
@@ -114,6 +117,7 @@ def test_zero_mode_outside_is_zero():
     assert np.all(out == 0.0)
 
 
+@pytest.mark.slow
 def test_bf16_runs_and_tracks_fp32():
     rng = np.random.RandomState(4)
     img = _smooth(rng, 32, 48, 8)
@@ -125,6 +129,7 @@ def test_bf16_runs_and_tracks_fp32():
     assert np.linalg.norm(lo - hi) < 0.05 * np.linalg.norm(hi)
 
 
+@pytest.mark.slow
 def test_linear_in_image_and_no_homography_grad():
     rng = np.random.RandomState(5)
     img = jnp.asarray(rng.randn(16, 24, 3).astype(np.float32))
@@ -142,6 +147,7 @@ def test_linear_in_image_and_no_homography_grad():
     assert float(jnp.abs(g).max()) > 0.0
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mode", ["zero", "clamp"])
 def test_chunked_matches_unchunked(mode):
     """Explicit row/col chunking (the over-budget path) is bit-equal to the
@@ -155,6 +161,7 @@ def test_chunked_matches_unchunked(mode):
     np.testing.assert_array_equal(np.asarray(one), np.asarray(chk))
 
 
+@pytest.mark.slow
 def test_clamp_mode_never_samples_a_pole_rows_edge():
     """Rows whose crossing solve degenerates (m at the +-1e4 clip) must stay
     zero-weight in clamp mode — clamping them to column 0 would read the
@@ -208,6 +215,7 @@ def test_plans_flag_twopass():
     assert plan.ok and plan.twopass, plan
 
 
+@pytest.mark.slow
 def test_volume_twopass_vs_quad_general_poses():
     """Construction parity: the two warp impls agree on smooth features."""
     poses, intr, h, w = general_scene(h=16, w=48)
