@@ -148,6 +148,37 @@ def register_fusion_mesh(mesh) -> str:
     return key
 
 
+@functools.lru_cache(maxsize=8)
+def _materialized_batched_kernel(n_src: int, H: int, W: int, mesh_key=None):
+    """Kernel over a batch of MATERIALIZED ref-view tuples (the streamed
+    memory model, P4 at scale): the host keeps the full scene stacks in RAM
+    and uploads only the current batch's (ref, sources) maps, sharded over
+    the mesh — device memory is O(batch x n_src x H x W) regardless of the
+    scene's view count.  Contrast ``_refview_batched_kernel``, which
+    replicates the whole stacks on every device and gathers by index (fast
+    for scenes that fit; a TNT-advanced-scale scan does not).  Same math,
+    same kernel, so results bit-match the in-memory path."""
+    import jax
+
+    def batched(ref_d, ref_K, ref_E, src_d, src_K, src_E, thre1, thre2):
+        fn = jax.vmap(functools.partial(_one_ref_view, n_src=n_src),
+                      in_axes=(0, 0, 0, 0, 0, 0, None, None))
+        return fn(ref_d, ref_K, ref_E, src_d, src_K, src_E, thre1, thre2)
+
+    if mesh_key is None:
+        return jax.jit(batched)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = _MESHES[mesh_key]
+    data = NamedSharding(mesh, P(("data", "view")))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        batched,
+        in_shardings=(data,) * 6 + (repl, repl),
+        out_shardings=(data, data, data),
+    )
+
+
 def align_image_to_depth(ref_img, depth, rescale, intrinsics, extrinsics):
     """Resize/crop the RGB image onto the depth map's grid, fixing intrinsics
     (the bookkeeping at ``fusion.py:142-190``).
@@ -188,11 +219,24 @@ def fusion(
     tot_iter: int = 10,
     mesh=None,
     view_batch: int = 0,
+    stream: bool = False,
+    stream_above_bytes: int = 4 << 30,
 ):
     """Adaptive-threshold fusion.  ``view_batch`` > 0 processes that many
     reference views per device call (vectorized); with a ``mesh`` the batch
     is additionally sharded over the data axis (distributed fusion, P4).
-    ``view_batch=0`` uses the one-view-at-a-time path (lowest memory)."""
+    ``view_batch=0`` uses the one-view-at-a-time path (lowest memory).
+
+    Memory model: by default the scene's depth/intrinsic stacks live on
+    device (replicated under a mesh) and ref/src maps are gathered by index
+    — fastest when the scene fits.  With ``stream=True`` (auto-enabled when
+    the stacks exceed ``stream_above_bytes``) the stacks stay in HOST RAM
+    and each batch's (ref, sources) maps are uploaded sharded over the
+    mesh: device memory is O(view_batch x n_src x H x W) regardless of
+    scene size, so TNT-advanced-scale scans (hundreds of 1080p+ views) fuse
+    on 16 GB chips.  The adaptive search re-uploads per iteration — the
+    same recompute schedule as the in-memory path, which also re-runs the
+    kernel per iteration; results bit-match."""
     import jax.numpy as jnp
 
     output_folder = Path(output_folder)
@@ -233,10 +277,17 @@ def fusion(
         all_intrinsics.append(K.astype(np.float32))
         all_extrinsics.append(E.astype(np.float32))
 
-    depths = jnp.asarray(np.stack(all_depths))
-    Ks = jnp.asarray(np.stack(all_intrinsics))
-    Es = jnp.asarray(np.stack(all_extrinsics))
     H, W = all_depths[0].shape
+    depths_np = np.stack(all_depths)
+    Ks_np = np.stack(all_intrinsics)
+    Es_np = np.stack(all_extrinsics)
+    stream = stream or depths_np.nbytes > stream_above_bytes
+    if stream and view_batch <= 0:
+        view_batch = 8
+    if not stream:
+        depths = jnp.asarray(depths_np)
+        Ks = jnp.asarray(Ks_np)
+        Es = jnp.asarray(Es_np)
 
     thre_left, thre_right = -2.0, 2.0
     vertexs, vertex_colors = [], []
@@ -288,7 +339,8 @@ def fusion(
                                     np.asarray(fused_depth))
                 continue
 
-            kernel = _refview_batched_kernel(n_src, H, W, mesh_key)
+            kernel = (_materialized_batched_kernel if stream
+                      else _refview_batched_kernel)(n_src, H, W, mesh_key)
             bsz = max(view_batch, shard_n)
             bsz = (bsz // shard_n) * shard_n  # divisible by shard count
             for s in range(0, len(items), bsz):
@@ -296,10 +348,20 @@ def fusion(
                 # pad the batch by repeating the last view (extra results
                 # are discarded) so the sharded shape stays static
                 padded = chunk + [chunk[-1]] * (bsz - len(chunk))
-                ref_idx = jnp.asarray([r for r, _ in padded], jnp.int32)
-                src_idx = jnp.asarray([ss for _, ss in padded], jnp.int32)
-                gm, fd, ratios = kernel(depths, Ks, Es, ref_idx, src_idx,
-                                        thre1, thre2)
+                ref_ids = np.asarray([r for r, _ in padded], np.int32)
+                src_ids = np.asarray([ss for _, ss in padded], np.int32)
+                if stream:
+                    # upload ONLY this batch's maps (host keeps the stacks);
+                    # the jit's in_shardings place the numpy slices directly
+                    # onto their shards
+                    gm, fd, ratios = kernel(
+                        depths_np[ref_ids], Ks_np[ref_ids], Es_np[ref_ids],
+                        depths_np[src_ids], Ks_np[src_ids], Es_np[src_ids],
+                        thre1, thre2)
+                else:
+                    gm, fd, ratios = kernel(
+                        depths, Ks, Es, jnp.asarray(ref_ids),
+                        jnp.asarray(src_ids), thre1, thre2)
                 mask_ratios.extend(float(r) for r in np.asarray(ratios)[: len(chunk)])
                 if last:
                     gm = np.asarray(gm)

@@ -223,11 +223,22 @@ def inference(
     restored ``params`` may be passed directly.
     """
     if params is None:
-        from cermvs_tpu.training.checkpoint import load_params
-
         if ckpt is None:
             raise ValueError("need ckpt path or params")
-        params = load_params(ckpt)
+        if str(ckpt).endswith(".pth"):
+            # the reference's released weights (train_DTU.pth /
+            # train_BlendedMVS.pth, its README) load directly: the importer
+            # maps the torch state_dict onto the flax tree
+            # (utils/torch_import.py, golden-tested in
+            # tests/test_torch_parity.py) — so demo.py runs the moment the
+            # published checkpoints are dropped in.
+            from cermvs_tpu.utils.torch_import import load_reference_checkpoint
+
+            params = load_reference_checkpoint(ckpt)  # {'params': ...}
+        else:
+            from cermvs_tpu.training.checkpoint import load_params
+
+            params = load_params(ckpt)
     runner = InferenceRunner(params, mesh=mesh, construction=construction,
                              **(model_kwargs or {}))
 

@@ -199,3 +199,27 @@ def test_import_checkpoint_cli_roundtrip(ref_raft, tmp_path):
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
         restored, expected)
+
+
+def test_inference_accepts_raw_pth(ref_raft, tmp_path):
+    """inference(ckpt="....pth") imports the reference checkpoint in place
+    (demo.py's path the moment released weights are dropped in)."""
+    import torch
+
+    from cermvs_tpu.data.loader import DataLoader
+    from cermvs_tpu.pipeline.inference import inference
+    from tests.test_pipeline import PlaneScene
+
+    torch.manual_seed(7)
+    tmodel = ref_raft.RAFT(cascade=[(4, 64, 1), (-1, 320, 1)]).eval()
+    sd = {f"module.{k}": v for k, v in tmodel.state_dict().items()}
+    pth = tmp_path / "train_DTU.pth"
+    torch.save(sd, pth)
+
+    scene = PlaneScene(n=3, H=32, W=32, num_frames=2)
+    inference(DataLoader(scene, batch_size=None, num_workers=0),
+              ckpt=str(pth), output_folder=tmp_path / "out", rescale=1,
+              model_kwargs=dict(cascade=((4, 64, 1), (-1, 320, 1)),
+                                hyp_chunk=4))
+    files = sorted((tmp_path / "out" / "depths").glob("*.pfm"))
+    assert len(files) == 3

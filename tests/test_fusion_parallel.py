@@ -38,3 +38,29 @@ def test_mesh_sharded_fusion(tmp_path):
     assert xyz_a.shape == xyz_c.shape
     np.testing.assert_allclose(
         np.sort(xyz_a, axis=0), np.sort(xyz_c, axis=0), atol=1e-4)
+
+
+def test_streamed_fusion_matches_in_memory(tmp_path):
+    """Streamed memory model (host-resident stacks, per-batch uploads
+    sharded over the mesh) must produce the same cloud as the replicated
+    index-gather path — it runs the identical kernel."""
+    mesh = make_mesh(n_data=8, n_view=1)
+    xyz_a, _ = _run(tmp_path, "inmem", view_batch=8, mesh=mesh)
+    xyz_b, _ = _run(tmp_path, "stream", view_batch=8, mesh=mesh, stream=True)
+    assert xyz_a.shape == xyz_b.shape
+    np.testing.assert_allclose(
+        np.sort(xyz_a, axis=0), np.sort(xyz_b, axis=0), atol=1e-4)
+
+
+def test_streamed_fusion_never_materializes_the_stack(tmp_path):
+    """The streamed path must not place the full scene stack on device:
+    peak live device bytes for the depth arrays stay at the batch size.
+    (The scene here is small; the assertion is on the MODEL — no live
+    device buffer matches the full-stack shape.)"""
+    import jax
+
+    scene_views = 4
+    _run(tmp_path, "stream_mem", view_batch=2, stream=True)
+    full_stack_shapes = {(scene_views, 24, 32)}
+    live = {tuple(a.shape) for a in jax.live_arrays()}
+    assert not (live & full_stack_shapes), live & full_stack_shapes
