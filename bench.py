@@ -111,7 +111,10 @@ def main():
             raise RuntimeError(f"rectified plan rejected: {plan.reason}")
 
     model = RAFT(test_mode=True, hyp_chunk=8, volume_fn=volume_fn)
-    params = model.init(jax.random.PRNGKey(0), images, poses, intrinsics, scale)
+    # jit the init: eager flax init dispatches each op through the tunnel
+    # (~29 ms/op, DEVNOTES) — minutes at this graph size
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), images, poses,
+                                 intrinsics, scale)
 
     fwd = jax.jit(lambda p, im, po, k, s: model.apply(p, im, po, k, s))
 
@@ -132,7 +135,19 @@ def main():
 
     from cermvs_tpu.utils.flops import device_peak_flops, flops_of, mfu
 
-    fwd_flops = flops_of(fwd, params, images, poses, intrinsics, scale)
+    # FLOP counting happens on the CPU backend's HLO cost model (the axon
+    # client exposes none); the Pallas epiband kernel cannot lower for CPU,
+    # so count on a twin model using the pure-XLA "oracle" builder — same
+    # matmul structure, a faithful count of the executed math
+    fl_model = model
+    if volume_fn is not None:
+        from cermvs_tpu.ops.corr_rectified import make_rectified_volume_fn
+
+        fl_model = RAFT(test_mode=True, hyp_chunk=8,
+                        volume_fn=make_rectified_volume_fn(plan,
+                                                           impl="oracle"))
+    fwd_fl = jax.jit(lambda p, im, po, k, s: fl_model.apply(p, im, po, k, s))
+    fwd_flops = flops_of(fwd_fl, params, images, poses, intrinsics, scale)
     result = {
         "metric": f"depth-maps/sec/chip (DTU {h}x{w} nf{n-1} synthetic)",
         "value": round(maps_per_sec, 4),
@@ -151,7 +166,13 @@ def main():
             result["peak_tflops_bf16"] = device_peak_flops() / 1e12
 
     if "--no-train" not in sys.argv and not small:
-        result.update(train_bench())
+        # emit the inference result FIRST (a crash/timeout in the training
+        # section must not cost the whole artifact), then the combined line
+        print(json.dumps(result), flush=True)
+        try:
+            result.update(train_bench())
+        except Exception as e:  # keep the inference artifact on any failure
+            result["train_error"] = repr(e)[:200]
 
     print(json.dumps(result))
 
@@ -207,7 +228,15 @@ def train_bench(batch=2, H=1056, W=1440, N=11):
         "train_unit": "steps/s",
         "train_vs_baseline": round(1.0 / dt / 0.21, 3),
     }
-    step_flops = flops_of(step, state, batch_data, 0.5)
+    # FLOPs via the pure-XLA oracle builder (the Pallas kernel cannot lower
+    # on the CPU cost-model backend; same matmul structure)
+    fl_step = step
+    if plan.ok:
+        fl_model = RAFT(hyp_chunk=8,
+                        volume_fn=make_rectified_volume_fn(plan,
+                                                           impl="oracle"))
+        fl_step = make_train_step(fl_model, tx, donate=False)
+    step_flops = flops_of(fl_step, state, batch_data, 0.5)
     if step_flops is not None:
         out["train_gflops_per_step"] = round(step_flops / 1e9, 1)
         m = mfu(step_flops, dt)

@@ -116,7 +116,14 @@ def main():
     }
     from cermvs_tpu.utils.flops import flops_of, mfu
 
-    step_flops = flops_of(step, state, batch_data, 0.5)
+    # FLOPs counted on the pure-XLA oracle twin (the Pallas kernel cannot
+    # lower on the CPU cost-model backend; same matmul structure)
+    fl_step = step
+    if construction == "rectified":
+        fl_model = RAFT(hyp_chunk=8, volume_fn=make_rectified_volume_fn(
+            plan, impl="oracle"))
+        fl_step = make_train_step(fl_model, tx, mesh=mesh, donate=False)
+    step_flops = flops_of(fl_step, state, batch_data, 0.5)
     if step_flops is not None:
         out["gflops_per_step"] = round(step_flops / 1e9, 1)
         m = mfu(step_flops, dt)

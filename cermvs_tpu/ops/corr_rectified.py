@@ -258,3 +258,53 @@ def make_rectified_volume_fn(plan: RectPlan, impl: str = "pallas"):
             impl=impl, zero_slab=zero_slab, rect_ctxs=cache["ctxs"])
 
     return volume_fn
+
+
+def make_mixed_volume_fn(plan: RectPlan, rect_views, impl: str = "pallas"):
+    """Mixed construction: rectified (epiband) volume slices for the views
+    in ``rect_views``, exact gather slices for the rest, combined in the
+    caller's aggregation layout.
+
+    The full planner rejects a scene when ANY pair fails its geometric
+    gates; forward-motion sequences typically still have several lateral
+    neighbors.  ``plan``/``rect_views`` come from
+    :func:`cermvs_tpu.ops.rectify.plan_rectification_partial` — the plan's
+    per-view entries follow rect_views order.  Failing views run through
+    ``corr.build_corr_volume`` (the bitwise-faithful path) so only the
+    non-rectifiable slices pay the gather cost.
+    """
+    import numpy as np
+
+    rect_views = tuple(rect_views)
+    rect_fn = make_rectified_volume_fn(plan, impl)
+
+    def volume_fn(fmaps, poses, intrinsics, ii, jj, origin, n_hyp, incre,
+                  hyp_chunk=16, mean_over_views=False, gather_dtype=None,
+                  zero_slab=False):
+        from cermvs_tpu.ops.corr import build_corr_volume
+
+        V = int(jj.shape[0])
+        rv = np.asarray(rect_views, np.int64)
+        ev = np.asarray([v for v in range(V) if v not in rect_views],
+                        np.int64)
+        assert len(ev), "all views rectifiable: use make_rectified_volume_fn"
+        vol_r = rect_fn(fmaps, poses, intrinsics, ii[: len(rv)], jj[rv],
+                        origin, n_hyp, incre, hyp_chunk=hyp_chunk,
+                        mean_over_views=mean_over_views,
+                        gather_dtype=gather_dtype, zero_slab=zero_slab)
+        vol_e = build_corr_volume(fmaps, poses, intrinsics, ii[: len(ev)],
+                                  jj[ev], origin, n_hyp, incre,
+                                  hyp_chunk=hyp_chunk,
+                                  mean_over_views=mean_over_views,
+                                  gather_dtype=gather_dtype)
+        if mean_over_views:
+            return (vol_r * len(rv) + vol_e * len(ev)) / V
+        # per-view volumes: restore the original jj order
+        parts = [None] * V
+        for k, v in enumerate(rect_views):
+            parts[v] = vol_r[:, k]
+        for k, v in enumerate(ev):
+            parts[v] = vol_e[:, k]
+        return jnp.stack(parts, axis=1)
+
+    return volume_fn

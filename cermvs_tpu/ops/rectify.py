@@ -638,6 +638,53 @@ def plan_rectification(
                     twopass=twopass)
 
 
+def plan_rectification_partial(
+    poses: np.ndarray,
+    intrinsics: np.ndarray,
+    h: int,
+    w: int,
+    **kwargs,
+) -> Tuple[RectPlan, Tuple[int, ...]]:
+    """Plan rectification for the SUBSET of neighbor views that pass the
+    per-view gates (mixed construction).
+
+    The full planner rejects a scene if ANY pair fails (near-forward
+    baseline, horizon, grazing ray) — but those gates are per-pair, and a
+    typical forward-motion sequence still has several lateral neighbors.
+    This variant gates each (ref, neighbor) pair separately and plans over
+    the passing subset, so inference can build those views' volume slices
+    through the epiband fast path and only the failing views through the
+    exact gathers (``ops/corr_rectified.make_mixed_volume_fn``).
+
+    Returns (plan, rect_views): ``rect_views`` are 0-based neighbor
+    positions (indices into jj) in ascending order; ``plan`` covers exactly
+    those views (``plan.view_params(i)`` follows rect_views order).  When
+    no view passes, plan.ok is False and rect_views is empty; when all
+    pass, this equals ``plan_rectification``.
+    """
+    poses = np.asarray(poses, np.float64)
+    intrinsics = np.asarray(intrinsics, np.float64)
+    if poses.ndim == 4:
+        if poses.shape[0] != 1:
+            return (RectPlan(0, 0, 0, 0, False,
+                             "rectified path requires B==1"), ())
+        poses, intrinsics = poses[0], intrinsics[0]
+    N = poses.shape[0]
+    ok = []
+    for v in range(1, N):
+        pair = plan_rectification(poses[[0, v]], intrinsics[[0, v]], h, w,
+                                  **kwargs)
+        if pair.ok:
+            ok.append(v - 1)
+    if not ok:
+        return RectPlan(0, 0, 0, 0, False, "no rectifiable view"), ()
+    if len(ok) == N - 1:
+        return plan_rectification(poses, intrinsics, h, w, **kwargs), tuple(ok)
+    sub = [0] + [v + 1 for v in ok]
+    plan = plan_rectification(poses[sub], intrinsics[sub], h, w, **kwargs)
+    return plan, tuple(ok)
+
+
 def plan_union(plans) -> RectPlan:
     """Smallest RectPlan covering every plan in ``plans``.
 

@@ -97,14 +97,43 @@ class InferenceRunner:
         from cermvs_tpu.ops.corr_rectified import make_rectified_volume_fn
 
         plan = self._plan_for(poses, intrinsics, scale, img_shape)
-        if not plan.ok:
+        if plan.ok:
+            if plan not in self._rect_models:
+                self._rect_models[plan] = RAFT(
+                    test_mode=True,
+                    volume_fn=make_rectified_volume_fn(plan),
+                    **self.model_kwargs)
+            return self._rect_models[plan], plan
+        # mixed construction: the full planner rejects the scene when ANY
+        # pair fails, but per-pair gates often pass for a subset of
+        # neighbors (forward-motion sequences keep lateral neighbors) —
+        # build those views' volume slices through the fast path and only
+        # the rest through the exact gathers
+        from cermvs_tpu.ops.corr_rectified import make_mixed_volume_fn
+        from cermvs_tpu.ops.rectify import plan_rectification_partial
+
+        f = self.model.stride_factor
+        poses64 = np.asarray(poses, np.float64).copy()
+        poses64[..., :3, 3] *= float(scale)
+        intr = np.asarray(intrinsics, np.float64).copy()
+        intr[..., :2, :] /= f
+        pplan, rect_views = plan_rectification_partial(
+            poses64, intr, img_shape[0] // f, img_shape[1] // f,
+            lambda_max=self.rect_lambda_max)
+        n_views = poses.shape[0] - 1
+        if not pplan.ok or not rect_views or len(rect_views) == n_views:
             return None, None
-        if plan not in self._rect_models:
-            self._rect_models[plan] = RAFT(
+        rect_bytes = (2 * len(rect_views) * pplan.h_r
+                      * (pplan.w_r + pplan.ws_r) * self.model.dim_fmap)
+        if rect_bytes > self.rect_memory_budget:
+            return None, None
+        key = (pplan, rect_views)
+        if key not in self._rect_models:
+            self._rect_models[key] = RAFT(
                 test_mode=True,
-                volume_fn=make_rectified_volume_fn(plan),
+                volume_fn=make_mixed_volume_fn(pplan, rect_views),
                 **self.model_kwargs)
-        return self._rect_models[plan], plan
+        return self._rect_models[key], key
 
     @staticmethod
     def _neighbor_order(poses) -> np.ndarray:

@@ -26,7 +26,9 @@ class TrainState(NamedTuple):
 
 
 def init_state(model, tx, rng, sample_batch) -> TrainState:
-    variables = model.init(
+    # jitted init: eager flax init dispatches per-op (slow through the
+    # tunneled backend) and materializes the full forward's intermediates
+    variables = jax.jit(model.init)(
         rng, sample_batch["images"], sample_batch["poses"],
         sample_batch["intrinsics"])
     params = variables["params"]

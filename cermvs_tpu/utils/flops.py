@@ -65,20 +65,41 @@ def compiled_flops(compiled_or_lowered) -> float | None:
 
 
 def flops_of(jitted_fn, *args, **kwargs) -> float | None:
-    """FLOPs of ``jitted_fn(*args, **kwargs)``: tries the compiled
-    executable's cost analysis first (backend cost model), then the
-    lowered-HLO analysis (backend-independent)."""
+    """FLOPs of ``jitted_fn(*args, **kwargs)`` from the LOWERED HLO's cost
+    analysis — client-side and instant (milliseconds).  Deliberately does
+    NOT call ``.compile()``: on the tunneled TPU backend that triggers a
+    second multi-minute compile of the full graph (the executable cache
+    does not dedupe lower().compile() with the traced call).  The
+    pre-optimization count can over-state slightly vs the fused program;
+    for this conv/matmul-dominated model the difference is small and the
+    resulting MFU is a lower bound either way (Pallas kernel bodies are
+    opaque to the HLO cost model too)."""
     try:
         lowered = jitted_fn.lower(*args, **kwargs)
     except Exception:
         return None
+    f = compiled_flops(lowered)
+    if f is not None:
+        return f
+    # the tunneled TPU backend (axon) implements no client-side cost
+    # analysis (lowered.cost_analysis() -> None); re-lower the same function
+    # abstractly against the co-resident CPU backend — tracing is backend-
+    # independent and the HLO cost model runs host-side
     try:
-        f = compiled_flops(lowered.compile())
-        if f is not None:
-            return f
+        import jax
+
+        cpu = jax.local_devices(backend="cpu")[0]
+        # arrays -> abstract shapes; python scalars/leaves pass through
+        abstract = jax.tree_util.tree_map(
+            lambda x: (jax.ShapeDtypeStruct(x.shape, x.dtype)
+                       if hasattr(x, "shape") and hasattr(x, "dtype") else x),
+            (args, kwargs))
+        a_args, a_kwargs = abstract
+        relow = jax.jit(jitted_fn.__wrapped__, device=cpu).lower(
+            *a_args, **a_kwargs)
+        return compiled_flops(relow)
     except Exception:
-        pass
-    return compiled_flops(lowered)
+        return None
 
 
 def mfu(total_flops: float | None, seconds: float, device=None) -> float | None:

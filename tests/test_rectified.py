@@ -591,3 +591,99 @@ class TestInferenceRunnerIntegration:
         depth = runner(images, poses, intr, 1.0)
         assert not runner._rect_models
         assert np.isfinite(depth).all()
+
+
+@pytest.mark.slow
+class TestMixedConstruction:
+    """Partial planning + mixed rectified/exact construction: scenes where
+    only SOME neighbors pass the rectification gates keep the fast path for
+    those views (plan_rectification_partial + make_mixed_volume_fn)."""
+
+    def _scene(self, H=64, W=192):
+        K = np.array([[80.0, 0, W / 2], [0, 80.0, H / 2], [0, 0, 1]],
+                     np.float32)
+        poses = np.stack([np.eye(4, dtype=np.float32) for _ in range(4)])
+        poses[1, 0, 3] = -1.2            # lateral (rectifiable)
+        poses[2, :3, 3] = [0, 0, -1.0]   # forward (gate-rejected)
+        poses[3, 0, 3] = 1.6             # lateral (rectifiable)
+        rng = np.random.RandomState(0)
+        images = rng.rand(4, H, W, 3).astype(np.float32) * 255
+        return images, poses, np.tile(K, (4, 1, 1))
+
+    def test_partial_planner_selects_lateral_views(self):
+        from cermvs_tpu.ops.rectify import (plan_rectification,
+                                            plan_rectification_partial)
+
+        _, poses, intr = self._scene()
+        intr4 = intr.astype(np.float64).copy()
+        intr4[:, :2] /= 4.0
+        full = plan_rectification(poses.astype(np.float64), intr4, 16, 48,
+                                  lambda_max=0.1)
+        assert not full.ok
+        plan, rect_views = plan_rectification_partial(
+            poses.astype(np.float64), intr4, 16, 48, lambda_max=0.1)
+        assert plan.ok and rect_views == (0, 2)
+        assert len(plan.view_s_max) == 2
+
+    def test_auto_engages_mixed_on_mixed_motion(self):
+        from cermvs_tpu.models.raft import RAFT
+        from cermvs_tpu.pipeline.inference import InferenceRunner
+
+        images, poses, intr = self._scene()
+        model = RAFT(test_mode=True, cascade=((8, 0.5, 2),),
+                     dtype=jnp.float32)
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.asarray(images[None]),
+            jnp.asarray(poses[None]), jnp.asarray(intr[None]),
+            jnp.asarray([1.0]))
+        r_exact = InferenceRunner(params, construction="exact",
+                                  cascade=((8, 0.5, 2),), dtype=jnp.float32)
+        r_auto = InferenceRunner(params, construction="auto",
+                                 rect_lambda_max=0.1,
+                                 cascade=((8, 0.5, 2),), dtype=jnp.float32)
+        d_exact = r_exact(images, poses, intr, 1.0)
+        d_auto = r_auto(images, poses, intr, 1.0)
+        keys = list(r_auto._rect_models)
+        assert keys and isinstance(keys[0], tuple), "mixed path not engaged"
+        # the rectified views are pure-lateral (lossless warps); the forward
+        # view runs the exact path verbatim.  rtol 2e-3: the mixed mean
+        # re-associates the view sum ((vol_r*2 + vol_e)/3 vs the exact
+        # scan's accumulation), which random untrained weights amplify on
+        # isolated pixels
+        np.testing.assert_allclose(d_auto, d_exact, rtol=2e-3, atol=1e-4)
+
+    def test_mixed_volume_per_view_order(self):
+        """Per-view (non-mean) layout must restore the original jj order."""
+        from cermvs_tpu.ops.corr import build_corr_volume
+        from cermvs_tpu.ops.corr_rectified import make_mixed_volume_fn
+        from cermvs_tpu.ops.rectify import plan_rectification_partial
+
+        images, poses, intr = self._scene(H=32, W=96)
+        h, w = 8, 24
+        intr4 = intr.astype(np.float64).copy()
+        intr4[:, :2] /= 4.0
+        plan, rect_views = plan_rectification_partial(
+            poses.astype(np.float64), intr4, h, w, lambda_max=0.1)
+        assert plan.ok and rect_views == (0, 2)
+
+        rng = np.random.RandomState(1)
+        fmaps = jnp.asarray(rng.rand(1, 4, h, w, 16).astype(np.float32))
+        K4 = jnp.asarray(intr4[None].astype(np.float32))
+        posesj = jnp.asarray(poses[None])
+        ii = jnp.zeros(3, jnp.int32)
+        jj = jnp.arange(1, 4, dtype=jnp.int32)
+        origin = jnp.full((1, 1, h, w), 4 * 0.0125, jnp.float32)
+
+        fn = make_mixed_volume_fn(plan, rect_views)
+        mixed = fn(fmaps, posesj, K4, ii, jj, origin, 8, 0.0125,
+                   hyp_chunk=4, mean_over_views=False)
+        exact = build_corr_volume(fmaps, posesj, K4, ii, jj, origin, 8,
+                                  0.0125, hyp_chunk=4,
+                                  mean_over_views=False)
+        assert mixed.shape == exact.shape
+        # the forward view (jj position 1) came from the exact builder:
+        # bit-identical; lateral views within the lossless-warp tolerance
+        np.testing.assert_allclose(np.asarray(mixed[:, 1]),
+                                   np.asarray(exact[:, 1]), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(mixed), np.asarray(exact),
+                                   rtol=1e-3, atol=1e-3)
