@@ -1,0 +1,120 @@
+"""Rectified-vs-exact through a TRAINED update operator.
+
+QUALITY.md's WTA probe bounds the construction approximation weight-free;
+this test adds the complementary evidence: train the real model (tiny
+cascade) on lateral plane scenes, then run test-mode inference on a
+HELD-OUT general-pose plane scene through BOTH constructions and compare
+depth error.  The learned operator reads the same volume semantics, so the
+rectified path's error must stay in the exact path's class.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cermvs_tpu.models.raft import RAFT
+from cermvs_tpu.training.optim import fetch_optimizer
+from cermvs_tpu.training.step import init_state, make_train_step
+from tests.test_learning import make_plane_batch
+
+pytestmark = pytest.mark.slow
+
+CASCADE = ((16, 0.5, 3),)
+
+
+def _lookat_pose(eye):
+    fwd = -eye / np.linalg.norm(eye)
+    right = np.cross(fwd, [0.0, 1.0, 0.0])
+    right /= np.linalg.norm(right)
+    down = np.cross(fwd, right)
+    R = np.stack([right, down, fwd]).astype(np.float64)
+    E = np.eye(4)
+    E[:3, :3] = R
+    E[:3, 3] = -R @ eye
+    return E
+
+
+def _general_pose_plane_scene(n=4, H=48, W=64, Z=30.0, focal=60.0, seed=3):
+    """Plane z=0 viewed by cameras on a ~Z sphere (look-at rotations — a
+    GENERAL-pose scene, unlike the lateral training data)."""
+    rng = np.random.RandomState(seed)
+    K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]],
+                 np.float64)
+    # band-limited 3D texture evaluated at backprojected plane points
+    lam = np.exp(rng.uniform(np.log(3.0 * Z / focal),
+                             np.log(40.0 * Z / focal), 16))
+    kvec = (2 * np.pi / lam)[:, None] * rng.randn(16, 3)
+    phase = rng.uniform(0, 2 * np.pi, (3, 16))
+
+    poses, images, gts = [], [], []
+    for i in range(n):
+        ang = 0.08 * ((i + 1) // 2) * (1 if i % 2 else -1)
+        elev = 0.05 * (i % 3 - 1)
+        eye = Z * np.array([np.sin(ang), np.sin(elev),
+                            -np.cos(ang) * np.cos(elev)])
+        E = _lookat_pose(eye)
+        R, t = E[:3, :3], E[:3, 3]
+        C = -R.T @ t
+        ys, xs = np.meshgrid(np.arange(H, dtype=np.float64),
+                             np.arange(W, dtype=np.float64), indexing="ij")
+        k = np.stack([xs, ys, np.ones_like(xs)], -1) @ np.linalg.inv(K).T
+        dirs = k @ R  # world rays; z-depth Zd solves (C + Zd*dirs).z = 0
+        Zd = -C[2] / dirs[..., 2]
+        X = C + Zd[..., None] * dirs
+        ph = X @ kvec.T
+        img = np.stack([128 + 60 * np.tanh(np.sin(ph + phase[c]).sum(-1)
+                                           / 16**0.5)
+                        for c in range(3)], -1)
+        poses.append(E.astype(np.float32))
+        images.append(img.astype(np.float32))
+        gts.append(Zd.astype(np.float32))
+    return (np.stack(images), np.stack(poses),
+            np.tile(K.astype(np.float32), (n, 1, 1)), np.stack(gts))
+
+
+def test_trained_model_rectified_error_matches_exact(rng):
+    from cermvs_tpu.ops.corr_rectified import make_rectified_volume_fn
+    from cermvs_tpu.ops.rectify import plan_rectification
+
+    # --- train on lateral plane scenes (the overfit recipe) ---
+    model = RAFT(cascade=CASCADE, hyp_chunk=4, dtype=jnp.float32)
+    tx, _ = fetch_optimizer(num_steps=60, lr=2e-3)
+    batch = make_plane_batch(rng, B=2)
+    state = init_state(model, tx, jax.random.PRNGKey(0), batch)
+    step = make_train_step(model, tx, donate=False)
+    for _ in range(40):
+        state, metrics = step(state, batch, 0.0)
+    assert float(metrics["mean_depth_error"]) < 10.0
+    params = {"params": state.params}
+
+    # --- held-out general-pose scene, both constructions ---
+    images, poses, intr, gt = _general_pose_plane_scene()
+    intr4 = intr.astype(np.float64).copy()
+    intr4[:, :2] /= 4.0
+    plan = plan_rectification(poses.astype(np.float64), intr4,
+                              images.shape[1] // 4, images.shape[2] // 4,
+                              lambda_max=0.08)
+    assert plan.ok, plan.reason
+
+    scale = jnp.ones((1,), jnp.float32)
+    args = (jnp.asarray(images[None]), jnp.asarray(poses[None]),
+            jnp.asarray(intr[None]), scale)
+
+    def depth_err(volume_fn):
+        m = RAFT(test_mode=True, cascade=CASCADE, hyp_chunk=4,
+                 dtype=jnp.float32, volume_fn=volume_fn)
+        disp = np.asarray(m.apply(params, *args))[0]
+        depth = np.where(disp > 1e-6, 1.0 / np.maximum(disp, 1e-6), 0.0)
+        gt4 = gt[0][1::4, 1::4]  # ~feature-grid GT (stride-4 cells)
+        b = 4
+        return np.median(
+            np.abs(depth[b:-b, b:-b] - gt4[b:-b, b:-b]))
+
+    e_exact = depth_err(None)
+    e_rect = depth_err(make_rectified_volume_fn(plan))
+    # the trained operator must keep the fast path in the exact path's
+    # error class on a general-pose scene (scene units: plane at Z=30)
+    assert e_exact < 5.0, f"trained exact-path error too high: {e_exact}"
+    assert e_rect < 1.5 * e_exact + 1.0, (e_exact, e_rect)
