@@ -238,14 +238,17 @@ def wta_depth(volume_fn, fmaps, poses, K4, n_views, hyp_chunk=8,
     ii = jnp.zeros(n_views, jnp.int32)
     jj = jnp.arange(1, n_views + 1, dtype=jnp.int32)
 
-    def sweep(origin, n_hyp, incre, zero_slab):
-        vol = volume_fn(fmaps, poses, K4, ii, jj, origin, n_hyp, incre,
-                        hyp_chunk=hyp_chunk, mean_over_views=True,
-                        zero_slab=zero_slab)
-        return vol[:, 0]  # (B, h, w, D)
-
+    # fmaps/poses/K4 enter as ARGUMENTS: closed-over concrete arrays embed
+    # in the HLO as constants, which blows the tunneled backend's compile
+    # payload limit (HTTP 413) at production sizes
     @jax.jit
-    def run():
+    def run(fmaps, poses, K4):
+        def sweep(origin, n_hyp, incre, zero_slab):
+            vol = volume_fn(fmaps, poses, K4, ii, jj, origin, n_hyp, incre,
+                            hyp_chunk=hyp_chunk, mean_over_views=True,
+                            zero_slab=zero_slab)
+            return vol[:, 0]  # (B, h, w, D)
+
         D0, div0 = stage0
         incre0 = 0.0025 / div0
         origin0 = jnp.full((B, 1, h, w), D0 // 2 * incre0, jnp.float32)
@@ -270,7 +273,7 @@ def wta_depth(volume_fn, fmaps, poses, K4, n_views, hyp_chunk=8,
         lam1 = (origin1[:, 0] + (a1 - D1 // 2 + frac) * incre1)
         return 1.0 / jnp.maximum(lam1[0], 1e-6), a0[0], a1[0]
 
-    depth, a0, a1 = run()
+    depth, a0, a1 = run(fmaps, poses, K4)
     return np.asarray(depth), np.asarray(a0), np.asarray(a1)
 
 
