@@ -513,6 +513,16 @@ def main():
         from cermvs_tpu.utils.relay import require_tpu_relay
 
         require_tpu_relay()
+        import jax
+
+    # the probe correlates RAW-PIXEL features (huge dynamic range, unlike
+    # the trained encoder's normalized features): TPU's DEFAULT matmul
+    # precision (fp32 operands as bf16 passes) flips WTA argmaxes and
+    # measured +2x median error on BOTH paths — force full precision so the
+    # numbers isolate the CONSTRUCTION difference, not matmul rounding.
+    # Safe here: every array on this path is fp32 (Mosaic only rejects
+    # HIGHEST for bf16 operands, DEVNOTES.md).
+    jax.config.update("jax_default_matmul_precision", "highest")
 
     if args.production:
         args.size = [1152, 1600]
