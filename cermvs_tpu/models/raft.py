@@ -143,11 +143,13 @@ class RAFT(nn.Module):
             chunk = 8
         else:
             # test mode: no backward, so live activations are ~2 tensors per
-            # chunk frame (~64 MB/frame bf16 at DTU scale 1); scale-2 frames
-            # are 4x that next to multi-GB volumes — stay per-frame there.
-            # H, W are static at trace time, so this branches per shape
-            # bucket, not per value.
-            chunk = 4 if H * W <= 2_100_000 else 1
+            # chunk frame (~64 MB/frame bf16 at DTU scale 1) — batch ALL
+            # frames in one conv call (a single-step scan): the multi-step
+            # scan measured ~2x slower for 11 frames at scale 1 (217 vs
+            # 113 ms, chunk 4 vs 12).  Scale-2 frames are 4x that next to
+            # multi-GB volumes — stay per-frame there.  H, W are static at
+            # trace time, so this branches per shape bucket, not per value.
+            chunk = B * N if H * W <= 2_100_000 else 1
         total = B * N
         chunk = min(chunk, total)
         frames = images.reshape(total, H, W, 3)
