@@ -268,7 +268,8 @@ def warp_image_twopass(img: jnp.ndarray, H_inv: jnp.ndarray, out_h: int,
                        out_w: int, mode: str = "zero",
                        row_chunk: Optional[int] = None,
                        col_chunk: Optional[int] = None,
-                       hat_budget: int = 384 * 1024 * 1024) -> jnp.ndarray:
+                       hat_budget: int = 384 * 1024 * 1024,
+                       engine: str = "auto") -> jnp.ndarray:
     """Inverse-warp ``img`` (h_s, w_s, C) through homography ``H_inv`` as two
     1-D hat-matrix resamples (matmuls) instead of 2-D HBM gathers.
 
@@ -307,6 +308,13 @@ def warp_image_twopass(img: jnp.ndarray, H_inv: jnp.ndarray, out_h: int,
     ``row_chunk``/``col_chunk``: None (default) auto-selects — a single
     unchunked einsum per pass while the hat tensor fits ``hat_budget``
     bytes as an HBM transient, else a ``lax.map`` over chunks.
+
+    ``engine``: "xla" (einsum passes, the materialized-hat formulation
+    above), "pallas" (``ops/pallas/hatwarp.hat_resample_rows`` — hat tiles
+    built in VMEM, no HBM transient), or "auto" (pallas on TPU, xla on CPU
+    where the kernel would run interpreted).  Same math and dtype path;
+    gradients flow identically (image via the transposed resample,
+    positions zero).
     """
     h_s, w_s, C = img.shape
     k = homography_grid(H_inv, out_h, out_w)[1]            # (out_h, out_w)
@@ -324,6 +332,25 @@ def warp_image_twopass(img: jnp.ndarray, H_inv: jnp.ndarray, out_h: int,
     prec = (jax.lax.Precision.DEFAULT if cdtype == jnp.bfloat16
             else jax.lax.Precision.HIGHEST)
     bpe = jnp.dtype(cdtype).itemsize
+
+    if engine == "auto":
+        # measured (TPU v5e, in-graph amortized): XLA matches or beats the
+        # kernel at bench shapes (2.2 vs 2.4 ms back-warp, 2.6 vs 4.4 ms
+        # wide src-warp — XLA fuses the hat construction well); the kernel
+        # wins only where XLA must fall back to lax.map chunking because a
+        # hat tensor exceeds the HBM-transient budget (scale-2 shapes)
+        bpe_ = jnp.dtype(img.dtype if img.dtype == jnp.bfloat16
+                         else jnp.float32).itemsize
+        over = (h_s * w_s * out_w * bpe_ > hat_budget
+                or out_w * h_s * out_h * bpe_ > hat_budget)
+        engine = ("pallas" if over and jax.default_backend() != "cpu"
+                  else "xla")
+    if engine == "pallas":
+        from cermvs_tpu.ops.pallas.hatwarp import hat_resample_rows
+
+        tmp = hat_resample_rows(img, m).astype(cdtype)     # (h_s, out_w, C)
+        out = hat_resample_rows(tmp.transpose(1, 0, 2), k.T)
+        return out.transpose(1, 0, 2)                      # (out_h, out_w, C)
 
     # chunk sizes: None => auto.  Unchunked passes (one einsum, hat tensor
     # as a single HBM transient) compile to 2 ops instead of a lax.map scan
@@ -565,7 +592,6 @@ def plan_rectification(
     w_need, h_need, s_need = 0.0, 0.0, 0.0
     rate_lo, rate_hi = np.inf, 0.0
     v_lo, v_hi, v_s = [], [], []
-    qs = []  # per-view warped ref corners, reused by the twopass gate loop
     for v in range(N - 1):
         A = _K(fx_r, fy_r, 0.0, 0.0, xp=np) @ R_ri[v] @ Ki_inv
         q = corners @ A.T
@@ -573,7 +599,6 @@ def plan_rectification(
             return RectPlan(0, 0, 0, 0, False,
                             f"rect horizon crosses ref image (view {v})")
         q = q[:, :2] / q[:, 2:3]
-        qs.append(q)
         w_need = max(w_need, q[:, 0].max() - q[:, 0].min())
         h_need = max(h_need, q[:, 1].max() - q[:, 1].min())
         # g over the warped ref image is bounded by its corner values only
@@ -611,25 +636,19 @@ def plan_rectification(
     view_s_max = tuple(min(_round_up(s + pad, 64), s_max) for s in v_s)
 
     # two-pass warp eligibility: the three inverse-warp homographies per view
-    # (np mirror of rect_geometry's construction — keep the centering formula
-    # below in sync with rect_geometry's ox/oy) must each pass _twopass_ok;
-    # view bands only shift H_src_inv horizontally (translation does not
-    # move poles/tilt), so the scene-wide s_max band is checked
+    # (:func:`host_rect_homographies`, the np mirror of rect_geometry's
+    # construction) must each pass _twopass_ok; view bands only shift
+    # H_src_inv horizontally (translation does not move poles/tilt), so the
+    # scene-wide s_max band is checked
     ws_r = w_r + s_max + int(s_neg)
+    H_ref_inv, H_src_inv, H_fwd = host_rect_homographies(
+        poses, intrinsics, h, w, h_r, w_r, s_max)
     twopass = True
     for v in range(N - 1):
-        q = qs[v]
-        ox = -q[:, 0].min() + (w_r - 1 - (q[:, 0].max() - q[:, 0].min())) / 2
-        oy = -q[:, 1].min() + (h_r - 1 - (q[:, 1].max() - q[:, 1].min())) / 2
-        Kj = intrinsics[1 + v]
-        H_ref_inv = Ki @ R_ri[v].T @ _K_inv(fx_r, fy_r, ox, oy, xp=np)
-        H_src_inv = Kj @ R_rj[v].T @ _K_inv(fx_r, fy_r, ox + s_max, oy,
-                                            xp=np)
-        H_fwd = _K(fx_r, fy_r, ox, oy, xp=np) @ R_ri[v] @ Ki_inv
         twopass = (twopass
-                   and _twopass_ok(H_ref_inv, h_r, w_r, h, w)
-                   and _twopass_ok(H_src_inv, h_r, ws_r, h, w)
-                   and _twopass_ok(H_fwd, h, w, h_r, w_r))
+                   and _twopass_ok(H_ref_inv[v], h_r, w_r, h, w)
+                   and _twopass_ok(H_src_inv[v], h_r, ws_r, h, w)
+                   and _twopass_ok(H_fwd[v], h, w, h_r, w_r))
         if not twopass:
             break
     return RectPlan(h_r, w_r, s_max, int(s_neg), True, "",
@@ -725,6 +744,108 @@ def plan_union(plans) -> RectPlan:
             and max(q.w_r for q in plans) <= 1.25 * p.w_r
             and s_max <= p.s_max + 0.25 * p.ws_r
             for p in plans))
+
+
+def host_rect_homographies(
+    poses: np.ndarray,
+    intrinsics: np.ndarray,
+    h: int,
+    w: int,
+    h_r: int,
+    w_r: int,
+    s_max: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """np mirror of :func:`rect_geometry`'s three homographies, host-side.
+
+    Returns ``(H_ref_inv, H_src_inv, H_fwd)``, each (V, 3, 3) float64, for
+    the N-1 (ref=0, src=v) pairs.  The centering offsets (ox, oy) follow
+    rect_geometry's formula exactly (keep in sync); they depend only on
+    rotations, so SCALED poses (training's depth rescale) give the same
+    matrices.  Used by the twopass eligibility gate and by
+    :func:`plan_row_bands` (row-sharded inference).
+    """
+    poses = np.asarray(poses, np.float64)
+    intrinsics = np.asarray(intrinsics, np.float64)
+    if poses.ndim == 4:
+        poses, intrinsics = poses[0], intrinsics[0]
+    N = poses.shape[0]
+    ii = np.zeros(N - 1, np.int64)
+    jj = np.arange(1, N)
+    R, t = relative_pose(poses[None], ii, jj, xp=np)
+    R_ri, R_rj, _ = rect_rotations(R[0], t[0], xp=np)
+    Ki = intrinsics[0]
+    fx_r, fy_r = Ki[0, 0], Ki[1, 1]
+    Ki_inv = np.linalg.inv(Ki)
+    corners = np.array(
+        [[0, 0, 1], [w - 1, 0, 1], [0, h - 1, 1], [w - 1, h - 1, 1]],
+        np.float64)
+    H_ref_inv = np.zeros((N - 1, 3, 3))
+    H_src_inv = np.zeros((N - 1, 3, 3))
+    H_fwd = np.zeros((N - 1, 3, 3))
+    for v in range(N - 1):
+        A = _K(fx_r, fy_r, 0.0, 0.0, xp=np) @ R_ri[v] @ Ki_inv
+        q = corners @ A.T
+        q = q[:, :2] / q[:, 2:3]
+        ox = -q[:, 0].min() + (w_r - 1 - (q[:, 0].max() - q[:, 0].min())) / 2
+        oy = -q[:, 1].min() + (h_r - 1 - (q[:, 1].max() - q[:, 1].min())) / 2
+        Kj = intrinsics[1 + v]
+        H_ref_inv[v] = Ki @ R_ri[v].T @ _K_inv(fx_r, fy_r, ox, oy, xp=np)
+        H_src_inv[v] = Kj @ R_rj[v].T @ _K_inv(fx_r, fy_r, ox + s_max, oy,
+                                               xp=np)
+        H_fwd[v] = _K(fx_r, fy_r, ox, oy, xp=np) @ R_ri[v] @ Ki_inv
+    return H_ref_inv, H_src_inv, H_fwd
+
+
+def plan_row_bands(
+    poses: np.ndarray,
+    intrinsics: np.ndarray,
+    h: int,
+    w: int,
+    plan: RectPlan,
+    n_shards: int,
+    ghost: int,
+    margin: int = 4,
+) -> Tuple[np.ndarray, int]:
+    """Static per-(shard, view) rect-row bands for row-sharded rectified
+    construction (``parallel/spatial.row_sharded_forward``).
+
+    Shard ``s`` owns feature rows ``[s*hloc, (s+1)*hloc)`` extended by
+    ``ghost`` rows; its volume back-warp for view ``v`` samples rect rows
+    ``fwd_y`` over that block (+-1 bilinear tap).  The band
+    ``[q0[s, v], q0[s, v] + band_h)`` covers those rows with ``margin``
+    slack; ``fwd_y`` is a pole-free Möbius map on gated scenes, so its
+    extrema sit on the sampled block boundary (a coarse grid suffices).
+
+    Returns ``(q0, band_h)``: ``q0`` (n_shards, V) int32 band starts in
+    global rect rows, ``band_h`` the uniform static band height (multiple
+    of 8, capped at ``plan.h_r``).  ``q0`` enters the shard_map as a
+    sharded per-shard input; ``band_h`` is a shape.
+    """
+    assert plan.ok, plan.reason
+    assert h % n_shards == 0, (h, n_shards)
+    _, _, H_fwd = host_rect_homographies(
+        poses, intrinsics, h, w, plan.h_r, plan.w_r, plan.s_max)
+    V = H_fwd.shape[0]
+    hloc = h // n_shards
+    xs = np.linspace(0.0, w - 1.0, 65)
+    q_lo = np.zeros((n_shards, V))
+    q_hi = np.zeros((n_shards, V))
+    for s in range(n_shards):
+        y0 = max(s * hloc - ghost, 0)
+        y1 = min(s * hloc + hloc + ghost, h) - 1
+        ys = np.linspace(float(y0), float(y1), 65)
+        Yg, Xg = np.meshgrid(ys, xs, indexing="ij")
+        for v in range(V):
+            den = H_fwd[v, 2, 0] * Xg + H_fwd[v, 2, 1] * Yg + H_fwd[v, 2, 2]
+            assert np.all(np.abs(den) > 1e-9), "horizon inside gated scene"
+            k = (H_fwd[v, 1, 0] * Xg + H_fwd[v, 1, 1] * Yg
+                 + H_fwd[v, 1, 2]) / den
+            q_lo[s, v] = np.floor(k.min()) - 1 - margin
+            q_hi[s, v] = np.ceil(k.max()) + 2 + margin
+    extent = float((q_hi - q_lo).max())
+    band_h = min(int(-(-extent // 8) * 8), plan.h_r)
+    q0 = np.clip(q_lo, 0, plan.h_r - band_h).astype(np.int32)
+    return q0, band_h
 
 
 def pack_plan(plan: RectPlan, n_views: int) -> np.ndarray:

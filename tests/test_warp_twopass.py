@@ -147,6 +147,44 @@ def test_linear_in_image_and_no_homography_grad():
     assert float(jnp.abs(g).max()) > 0.0
 
 
+@pytest.mark.parametrize("mode", ["zero", "clamp"])
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_pallas_engine_matches_xla(mode, dtype):
+    """The fused hat-resample kernel (ops/pallas/hatwarp.py, interpreted on
+    CPU) == the XLA einsum formulation: same hat weights, same dtype path,
+    different only in MXU tiling/summation order."""
+    rng = np.random.RandomState(11)
+    img = jnp.asarray(rng.randn(24, 40, 5).astype(np.float32)).astype(dtype)
+    Hi = _rot_homography(0.08, 24, 40, persp=1e-4)
+    ref = rectify.warp_image_twopass(img, Hi, 28, 44, mode=mode,
+                                     engine="xla")
+    out = rectify.warp_image_twopass(img, Hi, 28, 44, mode=mode,
+                                     engine="pallas")
+    tol = 1e-5 if dtype == jnp.float32 else 3e-2
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=tol, atol=tol)
+
+
+def test_pallas_engine_image_grad_matches_xla():
+    """The kernel's custom VJP (transposed hat resample) == XLA autodiff
+    through the einsum passes; homography grads stay exactly zero."""
+    rng = np.random.RandomState(12)
+    img = jnp.asarray(rng.randn(16, 24, 3).astype(np.float32))
+    Hi = _rot_homography(0.1, 16, 24)
+
+    def loss(im, engine):
+        return (rectify.warp_image_twopass(im, Hi, 12, 28,
+                                           engine=engine) ** 2).sum()
+
+    g_ref = jax.grad(lambda im: loss(im, "xla"))(img)
+    g_pal = jax.grad(lambda im: loss(im, "pallas"))(img)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-4)
+    gH = jax.grad(lambda H: rectify.warp_image_twopass(
+        img, H, 12, 28, engine="pallas").sum())(Hi)
+    assert float(jnp.abs(gH).max()) == 0.0
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("mode", ["zero", "clamp"])
 def test_chunked_matches_unchunked(mode):
