@@ -33,10 +33,17 @@ Exactness: owned rows equal the unsharded forward up to float reduction
 order (tests/test_spatial.py, rtol 1e-3 — the same tolerance class as the
 view-sharded path).
 
-Scope: test-mode forward, B == 1, mean aggregation, exact construction
-(the rectified row-banded variant is future work; at scale 2 the exact
-construction over n row shards costs ~1/n of its single-chip time, and the
-volume/GRU memory drops by the same factor).
+Rectified (epiband) construction under row sharding — pass a
+``RectPlan``: every per-view rect-space tensor is computed on a static-
+height BAND of rect rows covering the shard's back-warp support
+(``rectify.plan_row_bands`` derives the per-(shard, view) band starts
+host-side; the traced band offset composes into the warp homographies as a
+row translation).  Rows are independent in rect space (the epiband kernel
+is row-local), so per-shard cost is ~band_h/h_r of the full rectified
+construction — the fast path stays fast under spatial sharding.
+
+Scope: test-mode forward, B == 1, mean aggregation; exact construction by
+default, rectified with ``plan=``.
 """
 
 from __future__ import annotations
@@ -50,6 +57,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 # ghost margin (feature-grid rows) >= per-iteration receptive field (6)
 GHOST = 8
+# rectified-path margin: the slab-origin warp edge-extends where a band row
+# back-maps outside the shard's extended block — corrupting up to
+# (row tilt + 2) ~ 5 outermost ghost VOLUME rows; 16 keeps >= 6 clean ghost
+# rows (the receptive field) between any corruption and the owned rows
+GHOST_RECT = 16
 
 
 # ---------------------------------------------------------------------------
@@ -163,20 +175,134 @@ def encoder_rows(params, x, axis_name: str, norm_fn: str = "instance",
 
 
 # ---------------------------------------------------------------------------
+# Rectified construction on per-shard rect-row bands
+# ---------------------------------------------------------------------------
+
+
+def _trans3(tx, ty):
+    """3x3 translation; tx/ty may be traced scalars."""
+    return (jnp.eye(3, dtype=jnp.float32)
+            .at[0, 2].set(jnp.asarray(tx, jnp.float32))
+            .at[1, 2].set(jnp.asarray(ty, jnp.float32)))
+
+
+def rect_band_warps(plan, band_h, geo, f_ref_img, f_src_imgs, q0_loc, fdt):
+    """Stage-independent per-view rect-row-band feature warps.
+
+    ``geo``: ``rectify.rect_geometry(..., need_grids=False)``; ``f_ref_img``
+    (h, w, C) and ``f_src_imgs`` (V, h, w, C) are the /8-scaled feature
+    images; ``q0_loc`` (V,) int32 is this shard's band starts
+    (``rectify.plan_row_bands``).  The traced band offset composes into each
+    inverse-warp homography as an output-side row translation.  Returns
+    per-view lists of (band_h, w_r, C) / (band_h, ws_r - col0, C) arrays.
+    """
+    from cermvs_tpu.ops import rectify as rect_mod
+
+    V = f_src_imgs.shape[0]
+    fr_bands, fs_bands = [], []
+    for v in range(V):
+        _, _, s_max_v = plan.view_params(v)
+        col0 = plan.s_max - s_max_v
+        q0v = q0_loc[v].astype(jnp.float32)
+        if plan.twopass:
+            fr_b = rect_mod.warp_image_twopass(
+                f_ref_img, geo["H_ref_inv"][v] @ _trans3(0.0, q0v),
+                band_h, plan.w_r)
+            fs_b = rect_mod.warp_image_twopass(
+                f_src_imgs[v],
+                geo["H_src_inv"][v] @ _trans3(float(col0), q0v),
+                band_h, plan.ws_r - col0)
+        else:
+            bx, by = rect_mod.homography_grid(
+                geo["H_ref_inv"][v] @ _trans3(0.0, q0v), band_h, plan.w_r)
+            fr_b = rect_mod.warp_image(f_ref_img, bx, by)
+            sx, sy = rect_mod.homography_grid(
+                geo["H_src_inv"][v] @ _trans3(float(col0), q0v),
+                band_h, plan.ws_r - col0)
+            fs_b = rect_mod.warp_image(f_src_imgs[v], sx, sy)
+        fr_bands.append(fr_b.astype(fdt))
+        fs_bands.append(fs_b.astype(fdt))
+    return fr_bands, fs_bands
+
+
+def rect_banded_volume(plan, band_h, geo, fr_bands, fs_bands, q0_loc, row0,
+                       rows_ext, w, origin_ext, n_hyp, incre, zero_slab,
+                       fdt, impl="pallas"):
+    """(rows_ext, w, D) mean rect volume for one shard's extended block.
+
+    Per view: slab base/sigma on the band rows (the slab-origin warp reads
+    the LOCAL extended origin — clamp effects confined to far ghost rows,
+    see GHOST_RECT), the epiband kernel on the band, back-warp into the
+    local block.  ``origin_ext`` (rows_ext, w); ``row0`` the block's global
+    start row (traced); ``impl`` "pallas" or "oracle" (XLA resample, for
+    tests).
+    """
+    from cermvs_tpu.ops import rectify as rect_mod
+
+    org = origin_ext[..., None]                    # (rows_ext, w, 1)
+    acc = None
+    V = len(fr_bands)
+    for v in range(V):
+        rate_lo, rate_hi, s_max_v = plan.view_params(v)
+        q0v = q0_loc[v]
+        q0f = q0v.astype(jnp.float32)
+        rate_band = jax.lax.dynamic_slice_in_dim(
+            geo["rate"][v], q0v, band_h, axis=0)
+        sigma = rate_band * incre                  # (band_h, w_r)
+        if zero_slab:
+            base = jnp.zeros((band_h, plan.w_r), jnp.float32)
+        else:
+            px, py = rect_mod.homography_grid(
+                geo["H_ref_inv"][v] @ _trans3(0.0, q0f), band_h, plan.w_r)
+            origin_band = rect_mod.warp_image(
+                org, px, py - row0, mode="clamp")[..., 0]
+            base = rate_band * (origin_band - (n_hyp // 2) * incre)
+        if impl == "pallas":
+            from cermvs_tpu.ops.pallas.epiband import epiband_resample
+
+            vol_band = epiband_resample(
+                fr_bands[v][None], fs_bands[v][None], base[None],
+                sigma[None], n_hyp, s_max_v,
+                sigma_lo=max(rate_lo * incre, 0.0),
+                sigma_hi=rate_hi * incre if rate_hi > 0 else None,
+                static_base=zero_slab)[0]          # (band_h, w_r, D)
+        else:
+            from cermvs_tpu.ops.corr_rectified import _resample_rows_oracle
+
+            vol_band = _resample_rows_oracle(
+                fr_bands[v], fs_bands[v], base, sigma, n_hyp, s_max_v)
+        if plan.twopass:
+            Hb = _trans3(0.0, -q0f) @ geo["H_fwd"][v] @ _trans3(0.0, row0)
+            vol_loc = rect_mod.warp_image_twopass(
+                vol_band.astype(fdt), Hb, rows_ext, w)
+        else:
+            wx, wy = rect_mod.homography_grid(
+                geo["H_fwd"][v] @ _trans3(0.0, row0), rows_ext, w)
+            vol_loc = rect_mod.warp_image(vol_band.astype(fdt), wx, wy - q0f)
+        acc = vol_loc if acc is None else acc + vol_loc
+    return acc / V
+
+
+# ---------------------------------------------------------------------------
 # Row-sharded forward
 # ---------------------------------------------------------------------------
 
 
 def row_sharded_forward(model, params, images, poses, intrinsics, scale,
-                        mesh: Mesh, axis: str = "row"):
+                        mesh: Mesh, axis: str = "row", plan=None,
+                        rect_impl: str = "pallas"):
     """Test-mode forward with image rows sharded over ``mesh[axis]``.
 
     images (1, N, H, W, 3) in [0, 255]; returns (1, h, w) scaled disparity
     identical (up to float reduction order) to ``model.apply``.
 
     Requires: B == 1, ``model.test_mode``, mean aggregation, H divisible by
-    8 * n_shards.  Uses the exact construction (the volume stays row-
-    sharded; source features are all-gathered).
+    8 * n_shards.  With ``plan=None`` uses the exact construction (the
+    volume stays row-sharded; source features are all-gathered).  With a
+    host-planned ``RectPlan`` (``rectify.plan_rectification``) the volume is
+    built through the rectified epiband path on per-shard rect-row BANDS
+    (``rectify.plan_row_bands``) — same approximation class as the
+    unsharded rectified forward, ~band_h/h_r of its cost per shard.
     """
     assert model.test_mode, "row-sharded forward is a test-mode path"
     assert model.mean_volume, "row sharding requires mean aggregation"
@@ -188,17 +314,33 @@ def row_sharded_forward(model, params, images, poses, intrinsics, scale,
     assert H % (8 * n) == 0, f"H={H} must divide 8*n_shards={8 * n}"
     h, w = H // factor, W // factor
     hloc = h // n
+    ghost = GHOST if plan is None else GHOST_RECT
     # ghost rows come from the IMMEDIATE neighbors only: each shard must own
-    # at least GHOST feature rows (production shapes are far above this —
+    # at least ghost feature rows (production shapes are far above this —
     # scale 2 has 576/8 = 72 rows/shard)
-    assert hloc >= GHOST, f"{hloc} feature rows/shard < ghost margin {GHOST}"
+    assert hloc >= ghost, f"{hloc} feature rows/shard < ghost margin {ghost}"
     V = N - 1
     p = params["params"] if "params" in params else params
+
+    if plan is not None:
+        from cermvs_tpu.ops import rectify as rect_mod
+
+        assert plan.ok, plan.reason
+        intr_feat = np.asarray(intrinsics, np.float64).copy()
+        intr_feat[..., :2, :] /= factor
+        # homographies are scale-invariant (rotations + centering only), so
+        # the unscaled host poses give valid bands for any depth rescale
+        q0_np, band_h = rect_mod.plan_row_bands(
+            np.asarray(poses, np.float64), intr_feat, h, w, plan, n, ghost)
+        q0_bands = jnp.asarray(q0_np, jnp.int32)  # (n, V), sharded
+    else:
+        band_h = 0
+        q0_bands = jnp.zeros((n, V), jnp.int32)
 
     from cermvs_tpu.ops import corr as corr_ops
     from cermvs_tpu.ops.geometry import relative_projection
 
-    def body(p, images_loc, poses, intrinsics, scale):
+    def body(p, images_loc, poses, intrinsics, scale, q0_loc):
         # --- raft.__call__ preamble (models/raft.py:108-123) ---
         scale_ = jnp.asarray(scale, jnp.float32).reshape(B, 1, 1)
         poses = poses.at[..., :3, 3].multiply(scale_)
@@ -222,34 +364,54 @@ def row_sharded_forward(model, params, images, poses, intrinsics, scale,
         fmaps_full = jax.lax.all_gather(fmaps_loc, axis, axis=1, tiled=True)
         f_src_full = (fmaps_full[None] / 8.0)[:, 1:]  # (1, V, h, w, C)
 
-        # extended ref rows [row0, row0 + hloc + 2*GHOST) in global feature
-        # coords, row0 = a - GHOST; out-of-image rows are zero (padding) and
+        # extended ref rows [row0, row0 + hloc + 2*ghost) in global feature
+        # coords, row0 = a - ghost; out-of-image rows are zero (padding) and
         # masked at every conv input
         idx = jax.lax.axis_index(axis)
         a = idx * hloc
         ref_pad = jnp.pad(fmaps_full[0] / 8.0,
-                          ((GHOST, GHOST), (0, 0), (0, 0)))
+                          ((ghost, ghost), (0, 0), (0, 0)))
         f_ref_ext = jax.lax.dynamic_slice_in_dim(
-            ref_pad, a, hloc + 2 * GHOST, axis=0)  # (rows_ext, w, C)
-        rows_ext = hloc + 2 * GHOST
-        gr = jnp.arange(rows_ext)  # local ext row -> global row a - GHOST + i
-        valid = ((gr + a - GHOST >= 0) & (gr + a - GHOST < h))
+            ref_pad, a, hloc + 2 * ghost, axis=0)  # (rows_ext, w, C)
+        rows_ext = hloc + 2 * ghost
+        gr = jnp.arange(rows_ext)  # local ext row -> global row a - ghost + i
+        valid = ((gr + a - ghost >= 0) & (gr + a - ghost < h))
         row_mask = valid.astype(jnp.float32)[None, :, None, None]
 
         # global-row offset into the projection: [x, y+row0, 1, d] =
         # E(row0) @ [x, y, 1, d] with E = I + row0 * e_y e_1^T
         Pij = relative_projection(poses, intr4, ii, jj)  # (1, V, 4, 4)
-        row0 = (a - GHOST).astype(jnp.float32)
+        row0 = (a - ghost).astype(jnp.float32)
         E = jnp.eye(4, dtype=Pij.dtype).at[1, 2].add(row0)
         Pij_ext = Pij @ E
 
         f_ref_ext = jnp.broadcast_to(
             f_ref_ext[None, None], (1, V) + f_ref_ext.shape)
 
-        # ghost-row refresh: pull GHOST owned rows from each neighbor
+        # ghost-row refresh: pull ghost owned rows from each neighbor
         def refresh(x):
-            own = x[:, GHOST:-GHOST]
-            return _halo(own, GHOST, GHOST, axis, 1)
+            own = x[:, ghost:-ghost]
+            return _halo(own, ghost, ghost, axis, 1)
+
+        # --- rectified band machinery (plan is not None) ---
+        if plan is not None:
+            from cermvs_tpu.ops import rectify as rect_mod
+
+            fdt = model.dtype
+            geo = rect_mod.rect_geometry(poses, intr4, ii, jj, h, w, plan,
+                                         need_grids=False)
+            # stage-independent per-view band feature warps (hoisted: both
+            # cascade stages reuse them — mirrors corr_rectified.rect_features)
+            fr_bands, fs_bands = rect_band_warps(
+                plan, band_h, geo, (fmaps_full[0] / 8.0).astype(fdt),
+                f_src_full[0].astype(fdt), q0_loc[0], fdt)
+
+            def build_volume_rect(origin_ext, n_hyp, incre, zero_slab):
+                vol = rect_banded_volume(
+                    plan, band_h, geo, fr_bands, fs_bands, q0_loc[0], row0,
+                    rows_ext, w, origin_ext[0, 0], n_hyp, incre, zero_slab,
+                    fdt, impl=rect_impl)
+                return vol[None, None]
 
         # rebuild the update block with raft.setup's exact hyperparams
         # (models/raft.py:84-88) — submodules are not reachable on an
@@ -271,9 +433,9 @@ def row_sharded_forward(model, params, images, poses, intrinsics, scale,
             return ub.apply({"params": p["update_block"]}, inp_ext, stage,
                             method=lambda m, i, s: m.gru_ctx(i, s))
 
-        inp_ext = _halo(inp, GHOST, GHOST, axis, 1)
+        inp_ext = _halo(inp, ghost, ghost, axis, 1)
         disp = jnp.zeros((1, rows_ext, w, 1), jnp.float32)
-        net = _halo(net0, GHOST, GHOST, axis, 1).astype(jnp.float32)
+        net = _halo(net0, ghost, ghost, axis, 1).astype(jnp.float32)
 
         for stage, (n_hyp, n_div, n_iters) in enumerate(model.cascade):
             n_hyp = model._auto_hyps(n_hyp)
@@ -289,11 +451,15 @@ def row_sharded_forward(model, params, images, poses, intrinsics, scale,
             origin = corr_ops.slab_origin(
                 jax.lax.stop_gradient(disp)[..., 0][:, None], n_hyp, incre,
                 shift=(stage == 0))  # (1, 1, rows_ext, w)
-            vol = corr_ops.build_corr_volume_from(
-                f_ref_ext.astype(jnp.float32),
-                f_src_full.astype(jnp.float32), Pij_ext, origin, n_hyp,
-                incre, hyp_chunk=model.hyp_chunk, mean_over_views=True,
-                gather_dtype=model.dtype)
+            if plan is not None:
+                vol = build_volume_rect(origin, n_hyp, incre,
+                                        zero_slab=(stage == 0))
+            else:
+                vol = corr_ops.build_corr_volume_from(
+                    f_ref_ext.astype(jnp.float32),
+                    f_src_full.astype(jnp.float32), Pij_ext, origin, n_hyp,
+                    incre, hyp_chunk=model.hyp_chunk, mean_over_views=True,
+                    gather_dtype=model.dtype)
             levels = (corr_ops.build_pyramid(vol, model.num_levels)
                       if model.lookup_impl != "pallas" else [vol])
             pyr = corr_ops.CorrPyramid(levels, origin, incre, n_hyp,
@@ -312,14 +478,14 @@ def row_sharded_forward(model, params, images, poses, intrinsics, scale,
                 net = net.astype(jnp.float32)
                 disp = jax.lax.stop_gradient(disp) + delta
 
-        out = disp[:, GHOST:-GHOST, :, 0] * scale_[:, :, 0]
+        out = disp[:, ghost:-ghost, :, 0] * scale_[:, :, 0]
         return out  # (1, hloc, w)
 
     shardedf = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(), P(None, None, axis), P(), P(), P()),
+        in_specs=(P(), P(None, None, axis), P(), P(), P(), P(axis)),
         out_specs=P(None, axis),
         check_vma=False)
     out = shardedf(p, images, poses, intrinsics,
-                   jnp.asarray(scale, jnp.float32))
+                   jnp.asarray(scale, jnp.float32), q0_bands)
     return out
