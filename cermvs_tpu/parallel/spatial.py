@@ -290,7 +290,7 @@ def rect_banded_volume(plan, band_h, geo, fr_bands, fs_bands, q0_loc, row0,
 
 def row_sharded_forward(model, params, images, poses, intrinsics, scale,
                         mesh: Mesh, axis: str = "row", plan=None,
-                        rect_impl: str = "pallas"):
+                        rect_impl: str = "pallas", bands=None):
     """Test-mode forward with image rows sharded over ``mesh[axis]``.
 
     images (1, N, H, W, 3) in [0, 255]; returns (1, h, w) scaled disparity
@@ -323,16 +323,23 @@ def row_sharded_forward(model, params, images, poses, intrinsics, scale,
     p = params["params"] if "params" in params else params
 
     if plan is not None:
-        from cermvs_tpu.ops import rectify as rect_mod
-
         assert plan.ok, plan.reason
-        intr_feat = np.asarray(intrinsics, np.float64).copy()
-        intr_feat[..., :2, :] /= factor
-        # homographies are scale-invariant (rotations + centering only), so
-        # the unscaled host poses give valid bands for any depth rescale
-        q0_np, band_h = rect_mod.plan_row_bands(
-            np.asarray(poses, np.float64), intr_feat, h, w, plan, n, ghost)
-        q0_bands = jnp.asarray(q0_np, jnp.int32)  # (n, V), sharded
+        if bands is not None:
+            # precomputed by the caller (jitted drivers: poses are tracers
+            # there, so the host band planning must happen outside)
+            q0_bands, band_h = bands
+            q0_bands = jnp.asarray(q0_bands, jnp.int32)
+        else:
+            from cermvs_tpu.ops import rectify as rect_mod
+
+            intr_feat = np.asarray(intrinsics, np.float64).copy()
+            intr_feat[..., :2, :] /= factor
+            # homographies are scale-invariant (rotations + centering only),
+            # so unscaled host poses give valid bands for any depth rescale
+            q0_np, band_h = rect_mod.plan_row_bands(
+                np.asarray(poses, np.float64), intr_feat, h, w, plan, n,
+                ghost)
+            q0_bands = jnp.asarray(q0_np, jnp.int32)  # (n, V), sharded
     else:
         band_h = 0
         q0_bands = jnp.zeros((n, V), jnp.int32)

@@ -145,17 +145,41 @@ class InferenceRunner:
             [[0], 1 + np.argsort(np.linalg.norm(centers, axis=-1),
                                  kind="stable")])
 
+    @property
+    def row_mesh(self) -> bool:
+        return self.mesh is not None and "row" in self.mesh.axis_names
+
+    @property
+    def shape_multiple(self) -> int:
+        """Image-H divisibility the forward requires (inference() crops to
+        it): the encoder stride, or 8 * n_shards under row sharding."""
+        f = self.model.stride_factor
+        if self.row_mesh:
+            return max(f, 8 * int(self.mesh.shape["row"]))
+        return f
+
     def _fn(self, shape, model=None, key=None):
         import jax
 
         model = model or self.model
         cache_key = (shape, key)
         if cache_key not in self._cache:
-            if self.mesh is not None:
+            if self.row_mesh:
+                from cermvs_tpu.parallel.spatial import row_sharded_forward
+
+                # ``key`` = (plan, band_h) for the banded rectified
+                # construction (q0 band starts enter as a traced argument),
+                # or None for the exact construction
+                plan, band_h = key if key is not None else (None, 0)
+                self._cache[cache_key] = jax.jit(
+                    lambda p, im, po, k, s, q0: row_sharded_forward(
+                        self.model, p, im, po, k, s, self.mesh, plan=plan,
+                        bands=(q0, band_h) if plan is not None else None))
+            elif self.mesh is not None:
                 from cermvs_tpu.parallel.infer import view_sharded_forward
 
-                # under a mesh, ``key`` is the (hashable) RectPlan selecting
-                # the sharded rectified construction, or None for exact
+                # under a view mesh, ``key`` is the (hashable) RectPlan
+                # selecting the sharded rectified construction, None = exact
                 self._cache[cache_key] = jax.jit(
                     lambda p, im, po, k, s: view_sharded_forward(
                         model, p, im, po, k, s, self.mesh, plan=key))
@@ -179,9 +203,11 @@ class InferenceRunner:
         poses = np.asarray(poses, np.float32)
         intrinsics = np.asarray(intrinsics, np.float32)
         model, key = None, None
+        q0 = None
         # rectified construction requires B==1 (one ref view per forward);
         # view_batch>1 runs use the exact path.  Under a mesh the plan is
-        # handed to view_sharded_forward (scene-wide kernel windows).
+        # handed to view_sharded_forward (scene-wide kernel windows) or,
+        # for a row mesh, to row_sharded_forward with host-planned bands.
         if (self.construction in ("rectified", "auto")
                 and images.shape[0] == 1):
             # canonicalize neighbor order by baseline: view aggregation is
@@ -192,7 +218,9 @@ class InferenceRunner:
             order = self._neighbor_order(poses[0])
             images, poses, intrinsics = (a[:, order] for a in
                                          (images, poses, intrinsics))
-            if self.mesh is None:
+            if self.row_mesh:
+                key, q0 = self._row_plan(poses, intrinsics, scales, images)
+            elif self.mesh is None:
                 model, key = self._rect_model(
                     poses[0], intrinsics[0], scales[0], images[0].shape[1:3])
             else:
@@ -205,7 +233,37 @@ class InferenceRunner:
         k = jnp.asarray(intrinsics)
         s = jnp.asarray(np.asarray(scales, np.float32))
         fn = self._fn(tuple(im.shape[:4]), model, key)
+        if self.row_mesh:
+            assert images.shape[0] == 1, "row sharding supports batch 1"
+            n_sh = int(self.mesh.shape["row"])
+            if q0 is None:
+                q0 = np.zeros((n_sh, images.shape[1] - 1), np.int32)
+            return fn(self.params, im, po, k, s, jnp.asarray(q0, jnp.int32))
         return fn(self.params, im, po, k, s)
+
+    def _row_plan(self, poses, intrinsics, scales, images):
+        """Row-mesh plan + band starts: ((plan, band_h), q0) or (None, None)
+        when the exact construction must be used."""
+        from cermvs_tpu.ops.rectify import plan_row_bands
+        from cermvs_tpu.parallel.spatial import GHOST_RECT
+
+        n_sh = int(self.mesh.shape["row"])
+        f = self.model.stride_factor
+        H, W = images[0].shape[1:3]
+        h = H // f
+        # per-shard block must hold the rect ghost margin
+        if H % (8 * n_sh) != 0 or h // n_sh < GHOST_RECT:
+            return None, None
+        plan = self._plan_for(poses[0], intrinsics[0], scales[0], (H, W),
+                              mem_shards=n_sh)
+        if not plan.ok:
+            return None, None
+        intr_feat = np.asarray(intrinsics[0], np.float64).copy()
+        intr_feat[..., :2, :] /= f
+        q0, band_h = plan_row_bands(
+            np.asarray(poses[0], np.float64), intr_feat, h, W // f, plan,
+            n_sh, GHOST_RECT)
+        return (plan, band_h), q0
 
     def submit(self, images, poses, intrinsics, scale):
         return self.submit_batch(images[None], poses[None], intrinsics[None],
@@ -274,7 +332,9 @@ def inference(
     output_folder = Path(output_folder)
     (output_folder / "depths").mkdir(exist_ok=True, parents=True)
     num_frames = test_loader.dataset.num_frames
-    factor = runner.model.stride_factor
+    # row-sharded meshes need H divisible by 8*n_shards (shape_multiple);
+    # otherwise the encoder stride
+    factor = runner.shape_multiple
 
     def emit(name, depth, tic):
         if do_report:

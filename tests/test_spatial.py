@@ -207,6 +207,50 @@ def test_row_sharded_rectified_forward_close(twopass):
     assert np.percentile(d, 90) < 1e-3, np.percentile(d, 90)
 
 
+def test_inference_runner_row_mesh():
+    """InferenceRunner with a 'row' mesh drives row_sharded_forward: exact
+    construction equals the unsharded runner; construction='auto' plans
+    bands host-side (the scene gates in) and produces finite depths."""
+    from cermvs_tpu.pipeline.inference import InferenceRunner
+
+    images, poses, intrinsics = _scene()
+    model = RAFT(test_mode=True, cascade=((8, 64, 2), (-1, 320, 1)),
+                 hyp_chunk=4, dtype=jnp.float32)
+    scale = 1.0
+    params = model.init(jax.random.PRNGKey(0), images, poses, intrinsics,
+                        jnp.ones((1,), jnp.float32))
+
+    base = InferenceRunner(params, model=model, construction="exact")
+    ref = base(np.asarray(images[0]), np.asarray(poses[0]),
+               np.asarray(intrinsics[0]), scale)
+
+    mesh = _row_mesh(4)
+    assert InferenceRunner(params, model=model, mesh=mesh).shape_multiple \
+        == 32
+    rower = InferenceRunner(params, model=model, mesh=mesh,
+                            construction="exact")
+    out = rower(np.asarray(images[0]), np.asarray(poses[0]),
+                np.asarray(intrinsics[0]), scale)
+    # compare DISPARITIES: depth = 1/disp explodes the float-reduction
+    # noise wherever the (random-weight) disparity is near zero
+    to_disp = lambda d: np.where(d == 0, 0, 1.0 / np.where(d == 0, 1, d))
+    np.testing.assert_allclose(to_disp(out), to_disp(ref), rtol=1e-3,
+                               atol=1e-3)
+
+    auto = InferenceRunner(params, model=model, mesh=mesh,
+                           construction="auto")
+    key, q0 = auto._row_plan(np.asarray(poses), np.asarray(intrinsics),
+                             [scale], np.asarray(images))
+    assert key is not None and q0.shape[0] == 4  # scene gates in
+    out_r = auto(np.asarray(images[0]), np.asarray(poses[0]),
+                 np.asarray(intrinsics[0]), scale)
+    # rect-vs-exact agreement is NOT asserted: with random weights the
+    # recurrent update amplifies the construction difference chaotically
+    # (the banded-volume test pins construction equality; QUALITY.md owns
+    # the rect-vs-exact accuracy statement)
+    assert out_r.shape == ref.shape and np.isfinite(out_r).all()
+
+
 def test_row_sharded_forward_bf16_runs():
     """bf16 (production dtype) smoke: the sharded program compiles and
     produces finite disparities of the right shape.
