@@ -496,3 +496,223 @@ def row_sharded_forward(model, params, images, poses, intrinsics, scale,
     out = shardedf(p, images, poses, intrinsics,
                    jnp.asarray(scale, jnp.float32), q0_bands)
     return out
+
+
+# ---------------------------------------------------------------------------
+# 2-D (rows x views) sharded forward
+# ---------------------------------------------------------------------------
+
+
+def grid_sharded_forward(model, params, images, poses, intrinsics, scale,
+                         mesh: Mesh, row_axis: str = "row",
+                         view_axis: str = "view", plan=None,
+                         rect_impl: str = "pallas"):
+    """Test-mode forward on a 2-D mesh: image ROWS over ``row_axis`` AND
+    neighbor VIEWS over ``view_axis`` — the composition for scale-2
+    many-view scans (per-chip work ~ (V / n_view) x (h / n_row)).
+
+    Structure: each (row, view) shard encodes its row block of its local
+    views (halo convs, row-``pmean`` norms), builds the row-block partial
+    view-sum volume from its local views only (exact projection-offset
+    construction, or the banded rectified construction with a RectPlan —
+    scene-wide kernel windows, as in ``parallel/infer.py``), and ONE
+    ``psum`` over the view axis per cascade stage yields the row-sharded
+    global view-mean volume.  The GRU iterations then run row-sharded with
+    ghost-row refresh, replicated across the view axis (zero per-iteration
+    view communication — the same linearity argument as view-only
+    sharding).  Views pad to a multiple of the view-axis size with zero
+    feature weight; padded slots replicate the last real view's pose (a
+    zero baseline would poison the rectified geometry with NaNs).
+
+    Requires: B == 1, ``model.test_mode``, mean aggregation, H divisible by
+    8 * n_row_shards.
+    """
+    assert model.test_mode, "grid-sharded forward is a test-mode path"
+    assert model.mean_volume, "grid sharding requires mean aggregation"
+    m = int(mesh.shape[row_axis])
+    nv = int(mesh.shape[view_axis])
+    B, N, H, W, _ = images.shape
+    assert B == 1, "grid-sharded forward supports batch 1"
+    factor = model.stride_factor
+    assert factor == 4, "row sharding mirrors the HR encoder"
+    assert H % (8 * m) == 0, f"H={H} must divide 8*n_row_shards={8 * m}"
+    h, w = H // factor, W // factor
+    hloc = h // m
+    ghost = GHOST if plan is None else GHOST_RECT
+    assert hloc >= ghost, f"{hloc} feature rows/shard < ghost margin {ghost}"
+    V = N - 1
+    V_pad = -(-V // nv) * nv
+    pad = V_pad - V
+    V_local = V_pad // nv
+    p = params["params"] if "params" in params else params
+
+    from cermvs_tpu.ops import corr as corr_ops
+    from cermvs_tpu.ops.geometry import relative_projection
+
+    if plan is not None:
+        import dataclasses
+
+        from cermvs_tpu.ops import rectify as rect_mod
+
+        assert plan.ok, plan.reason
+        intr_feat = np.asarray(intrinsics, np.float64).copy()
+        intr_feat[..., :2, :] /= factor
+        q0_np, band_h = rect_mod.plan_row_bands(
+            np.asarray(poses, np.float64), intr_feat, h, w, plan, m, ghost)
+        if pad:
+            q0_np = np.concatenate(
+                [q0_np, np.repeat(q0_np[:, -1:], pad, axis=1)], axis=1)
+        q0_all = jnp.asarray(q0_np, jnp.int32)       # (m, V_pad)
+        # one traced program serves every shard: per-view static kernel
+        # windows cannot differ across shards — scene-wide bounds
+        plan = dataclasses.replace(plan, view_rates=(), view_s_max=())
+    else:
+        band_h = 0
+        q0_all = jnp.zeros((m, V_pad), jnp.int32)
+
+    # host-side view padding (weights zero the padded features)
+    src_frames = jnp.concatenate(
+        [images[0, 1:],
+         jnp.zeros((pad, H, W, 3), images.dtype)], axis=0)  # (V_pad, H, W, 3)
+    weight = jnp.concatenate(
+        [jnp.ones((V,), jnp.float32), jnp.zeros((pad,), jnp.float32)])
+    src_poses = jnp.concatenate(
+        [poses[0, 1:], jnp.broadcast_to(poses[0, N - 1:N], (pad, 4, 4))],
+        axis=0)                                       # (V_pad, 4, 4)
+    src_K = jnp.concatenate(
+        [intrinsics[0, 1:], jnp.broadcast_to(intrinsics[0, N - 1:N],
+                                             (pad, 3, 3))], axis=0)
+
+    def body(p, ref_frame, src_frames_l, ref_pose, src_poses_l, ref_K,
+             src_K_l, weight_l, scale, q0_l):
+        # ref_frame (1, Hloc, W, 3); src_frames_l (V_local, Hloc, W, 3)
+        scale_ = jnp.asarray(scale, jnp.float32).reshape(1, 1, 1)
+        poses_l = jnp.concatenate([ref_pose, src_poses_l[None]], axis=1)
+        poses_l = poses_l.at[..., :3, 3].multiply(scale_)  # (1, 1+VL, 4, 4)
+        intr_l = jnp.concatenate([ref_K, src_K_l[None]], axis=1)
+        intr4 = intr_l.at[:, :, :2].divide(float(factor))
+        ii = jnp.zeros(V_local, jnp.int32)
+        jj = jnp.arange(1, V_local + 1, dtype=jnp.int32)
+
+        frames = jnp.concatenate([ref_frame, src_frames_l], axis=0)
+        frames = frames.astype(jnp.float32) * (2.0 / 255.0) - 1.0
+        fmaps_loc = encoder_rows(p["fnet"], frames, row_axis,
+                                 norm_fn="instance", dtype=model.dtype)
+        fmaps_loc = fmaps_loc.astype(jnp.float32)    # (1+VL, hloc, w, C)
+        # zero padded views' FEATURES (encoding a zero image is not zero)
+        wv = jnp.concatenate([jnp.ones((1,), jnp.float32), weight_l])
+        fmaps_loc = fmaps_loc * wv[:, None, None, None]
+        net_inp = encoder_rows(p["cnet"], frames[:1], row_axis,
+                               norm_fn="none", dtype=model.dtype)
+        net0 = jnp.tanh(net_inp[..., : model.dim_net])
+        inp = jax.nn.relu(net_inp[..., model.dim_net:])
+
+        fmaps_full = jax.lax.all_gather(fmaps_loc, row_axis, axis=1,
+                                        tiled=True)  # (1+VL, h, w, C)
+        f_src_full = (fmaps_full[None] / 8.0)[:, 1:]
+
+        idx = jax.lax.axis_index(row_axis)
+        a = idx * hloc
+        ref_pad_f = jnp.pad(fmaps_full[0] / 8.0,
+                            ((ghost, ghost), (0, 0), (0, 0)))
+        f_ref_ext = jax.lax.dynamic_slice_in_dim(
+            ref_pad_f, a, hloc + 2 * ghost, axis=0)
+        rows_ext = hloc + 2 * ghost
+        gr = jnp.arange(rows_ext)
+        valid = ((gr + a - ghost >= 0) & (gr + a - ghost < h))
+        row_mask = valid.astype(jnp.float32)[None, :, None, None]
+
+        Pij = relative_projection(poses_l, intr4, ii, jj)  # (1, VL, 4, 4)
+        row0 = (a - ghost).astype(jnp.float32)
+        E = jnp.eye(4, dtype=Pij.dtype).at[1, 2].add(row0)
+        Pij_ext = Pij @ E
+        f_ref_ext = jnp.broadcast_to(
+            f_ref_ext[None, None], (1, V_local) + f_ref_ext.shape)
+        w_sum = jax.lax.psum(jnp.sum(weight_l), view_axis)
+
+        def refresh(x):
+            own = x[:, ghost:-ghost]
+            return _halo(own, ghost, ghost, row_axis, 1)
+
+        if plan is not None:
+            from cermvs_tpu.ops import rectify as rect_mod
+
+            fdt = model.dtype
+            geo = rect_mod.rect_geometry(poses_l, intr4, ii, jj, h, w, plan,
+                                         need_grids=False)
+            fr_bands, fs_bands = rect_band_warps(
+                plan, band_h, geo, (fmaps_full[0] / 8.0).astype(fdt),
+                f_src_full[0].astype(fdt), q0_l[0], fdt)
+
+        def build_volume(origin_ext, n_hyp, incre, zero_slab):
+            """Row-block global view-mean volume: local partial sum + one
+            psum over the view axis."""
+            if plan is not None:
+                vol_l = rect_banded_volume(
+                    plan, band_h, geo, fr_bands, fs_bands, q0_l[0], row0,
+                    rows_ext, w, origin_ext[0, 0], n_hyp, incre, zero_slab,
+                    model.dtype, impl=rect_impl)[None, None] * V_local
+            else:
+                vol_l = corr_ops.build_corr_volume_from(
+                    f_ref_ext.astype(jnp.float32),
+                    f_src_full.astype(jnp.float32), Pij_ext, origin_ext,
+                    n_hyp, incre, hyp_chunk=model.hyp_chunk,
+                    mean_over_views=True,
+                    gather_dtype=model.dtype) * V_local
+            return jax.lax.psum(vol_l, view_axis) / w_sum
+
+        from cermvs_tpu.models.update import UpdateBlock
+
+        ub = UpdateBlock(
+            cascade=model.cascade, dim_net=model.dim_net,
+            dim_inp=model.dim_inp, num_levels=model.num_levels,
+            radius=model.radius, aggregation=model.aggregation,
+            dtype=model.dtype)
+
+        inp_ext = _halo(inp, ghost, ghost, row_axis, 1)
+        disp = jnp.zeros((1, rows_ext, w, 1), jnp.float32)
+        net = _halo(net0, ghost, ghost, row_axis, 1).astype(jnp.float32)
+
+        for stage, (n_hyp, n_div, n_iters) in enumerate(model.cascade):
+            n_hyp = model._auto_hyps(n_hyp)
+            incre = 0.0025 / n_div
+            disp = refresh(disp)
+            net = refresh(net)
+            origin = corr_ops.slab_origin(
+                jax.lax.stop_gradient(disp)[..., 0][:, None], n_hyp, incre,
+                shift=(stage == 0))
+            vol = build_volume(origin, n_hyp, incre, zero_slab=(stage == 0))
+            levels = (corr_ops.build_pyramid(vol, model.num_levels)
+                      if model.lookup_impl != "pallas" else [vol])
+            pyr = corr_ops.CorrPyramid(levels, origin, incre, n_hyp,
+                                       model.num_levels)
+            gctx = ub.apply({"params": p["update_block"]},
+                            inp_ext.astype(model.dtype), stage,
+                            method=lambda mm, i, s: mm.gru_ctx(i, s))
+            for _ in range(n_iters):
+                disp = refresh(disp)
+                net = refresh(net)
+                zinv = jax.lax.stop_gradient(disp)[..., 0][:, None]
+                corr_frames = corr_ops.lookup(pyr, zinv, model.radius,
+                                              impl=model.lookup_impl)
+                net, delta = ub.apply(
+                    {"params": p["update_block"]}, net.astype(model.dtype),
+                    inp_ext, jax.lax.stop_gradient(disp), corr_frames,
+                    stage, gru_ctx=gctx, row_mask=row_mask)
+                net = net.astype(jnp.float32)
+                disp = jax.lax.stop_gradient(disp) + delta
+
+        out = disp[:, ghost:-ghost, :, 0] * scale_[:, :, 0]
+        return out  # (1, hloc, w)
+
+    shardedf = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(None, row_axis), P(view_axis, row_axis), P(),
+                  P(view_axis), P(), P(view_axis), P(view_axis), P(),
+                  P(row_axis, view_axis)),
+        out_specs=P(None, row_axis),
+        check_vma=False)
+    out = shardedf(p, images[:, 0], src_frames, poses[:, :1], src_poses,
+                   intrinsics[:, :1], src_K, weight,
+                   jnp.asarray(scale, jnp.float32), q0_all)
+    return out

@@ -251,6 +251,52 @@ def test_inference_runner_row_mesh():
     assert out_r.shape == ref.shape and np.isfinite(out_r).all()
 
 
+@pytest.mark.parametrize("shape", [(2, 4), (4, 2)])
+def test_grid_sharded_forward_matches_single_fp32(shape):
+    """2-D (rows x views) mesh == single device for the EXACT construction
+    (fp32: float-reduction-order class, as the 1-D row test).  V=3 neighbor
+    views pad to the view-axis size with zero weight."""
+    from cermvs_tpu.parallel.spatial import grid_sharded_forward
+
+    m, nv = shape
+    images, poses, intrinsics = _scene()
+    model = RAFT(test_mode=True, cascade=((8, 64, 2), (-1, 320, 2)),
+                 hyp_chunk=4, dtype=jnp.float32)
+    scale = jnp.ones((1,), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), images, poses, intrinsics,
+                        scale)
+    ref = model.apply(params, images, poses, intrinsics, scale)
+
+    mesh = Mesh(np.asarray(jax.devices()[:m * nv]).reshape(m, nv),
+                axis_names=("row", "view"))
+    out = grid_sharded_forward(model, params, images, poses, intrinsics,
+                               scale, mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_grid_sharded_rectified_runs():
+    """Rectified construction on the 2-D mesh: bands planned per row shard,
+    views padded/sharded, one psum per stage; finite output of the right
+    shape (construction equality is pinned at the volume level; the full
+    forward is chaotic under random weights — see the 1-D tests)."""
+    from cermvs_tpu.parallel.spatial import grid_sharded_forward
+
+    images, poses, intrinsics, _, plan, h, w = _rect_scene_plan(True)
+    model = RAFT(test_mode=True, cascade=((8, 64, 1), (-1, 320, 1)),
+                 hyp_chunk=4, dtype=jnp.float32)
+    scale = jnp.ones((1,), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), images, poses, intrinsics,
+                        scale)
+    # GHOST_RECT=16 => at h=64 at most 4 row shards
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2),
+                axis_names=("row", "view"))
+    out = np.asarray(grid_sharded_forward(
+        model, params, images, poses, intrinsics, scale, mesh, plan=plan))
+    assert out.shape == (1, h, w)
+    assert np.isfinite(out).all()
+
+
 def test_row_sharded_forward_bf16_runs():
     """bf16 (production dtype) smoke: the sharded program compiles and
     produces finite disparities of the right shape.
