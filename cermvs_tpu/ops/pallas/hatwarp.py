@@ -2,13 +2,20 @@
 
 ``rectify.warp_image_twopass`` turns a homography warp into two 1-D hat
 resamples expressed as matmuls (replacing ``alt_cuda_corr``-style HBM
-gathers, see ``ops/rectify.py``).  In the XLA formulation the hat matrix
-``S[r, o, s] = max(0, 1 - |s - pos[r, o]|)`` must MATERIALIZE to feed the
-MXU — a transient the size of ``rows x out x len`` (hundreds of MB per
-production view, several GB of HBM traffic per map across the ~40 warps of
-a rectified forward).  This kernel builds each ``S`` tile in VMEM (one VPU
-expression over an iota) and feeds the MXU directly: HBM traffic drops to
-the image + output only.
+gathers, see ``ops/rectify.py``).  This kernel builds each hat tile
+``S[o, s] = max(0, 1 - |s - pos[r, o]|)`` in VMEM (one VPU expression over
+an iota) and feeds the MXU directly, avoiding the XLA formulation's
+materialized hat transient.
+
+STATUS — measured experiment, NOT the default: on TPU v5e (in-graph
+amortized timing) XLA fuses the hat construction into its einsums well
+enough to beat this kernel at every profiled shape (bench back-warp 2.2
+vs 2.4 ms, wide src-warp 2.6 vs 4.4 ms, scale-2 over-budget chunked case
+48 vs 91 ms — benchmarks/profile_hatwarp.py).  Output is BIT-IDENTICAL
+to the XLA path, the custom VJP matches XLA autodiff, and it lowers on
+the real Mosaic toolchain — kept as ``engine="pallas"`` for future
+tuning (narrower banded windows via scalar-prefetched offsets are the
+obvious next step; the full-width ``S`` row is the cost).
 
 Primitive: ``hat_resample_rows(img, pos)`` with ``img (R, S, C)`` and
 ``pos (R, O)`` returns ``out (R, O, C) = sum_s hat(s - pos[r, o]) *

@@ -334,17 +334,14 @@ def warp_image_twopass(img: jnp.ndarray, H_inv: jnp.ndarray, out_h: int,
     bpe = jnp.dtype(cdtype).itemsize
 
     if engine == "auto":
-        # measured (TPU v5e, in-graph amortized): XLA matches or beats the
-        # kernel at bench shapes (2.2 vs 2.4 ms back-warp, 2.6 vs 4.4 ms
-        # wide src-warp — XLA fuses the hat construction well); the kernel
-        # wins only where XLA must fall back to lax.map chunking because a
-        # hat tensor exceeds the HBM-transient budget (scale-2 shapes)
-        bpe_ = jnp.dtype(img.dtype if img.dtype == jnp.bfloat16
-                         else jnp.float32).itemsize
-        over = (h_s * w_s * out_w * bpe_ > hat_budget
-                or out_w * h_s * out_h * bpe_ > hat_budget)
-        engine = ("pallas" if over and jax.default_backend() != "cpu"
-                  else "xla")
+        # measured (TPU v5e, in-graph amortized): XLA fuses the hat
+        # construction well and beats the kernel at EVERY profiled shape —
+        # bench: 2.2 vs 2.4 ms back-warp, 2.6 vs 4.4 ms wide src-warp;
+        # scale-2 over-budget (1024x1024x44 -> 576x800, where this path
+        # chunks via lax.map): 48 vs 91 ms.  The kernel remains available
+        # as an explicit engine (bit-identical output, own VJP; see
+        # benchmarks/profile_hatwarp.py) for future tuning.
+        engine = "xla"
     if engine == "pallas":
         from cermvs_tpu.ops.pallas.hatwarp import hat_resample_rows
 
