@@ -506,7 +506,7 @@ def row_sharded_forward(model, params, images, poses, intrinsics, scale,
 def grid_sharded_forward(model, params, images, poses, intrinsics, scale,
                          mesh: Mesh, row_axis: str = "row",
                          view_axis: str = "view", plan=None,
-                         rect_impl: str = "pallas"):
+                         rect_impl: str = "pallas", bands=None):
     """Test-mode forward on a 2-D mesh: image ROWS over ``row_axis`` AND
     neighbor VIEWS over ``view_axis`` — the composition for scale-2
     many-view scans (per-chip work ~ (V / n_view) x (h / n_row)).
@@ -552,17 +552,24 @@ def grid_sharded_forward(model, params, images, poses, intrinsics, scale,
     if plan is not None:
         import dataclasses
 
-        from cermvs_tpu.ops import rectify as rect_mod
-
         assert plan.ok, plan.reason
-        intr_feat = np.asarray(intrinsics, np.float64).copy()
-        intr_feat[..., :2, :] /= factor
-        q0_np, band_h = rect_mod.plan_row_bands(
-            np.asarray(poses, np.float64), intr_feat, h, w, plan, m, ghost)
-        if pad:
-            q0_np = np.concatenate(
-                [q0_np, np.repeat(q0_np[:, -1:], pad, axis=1)], axis=1)
-        q0_all = jnp.asarray(q0_np, jnp.int32)       # (m, V_pad)
+        if bands is not None:
+            # precomputed by the caller (jitted drivers: poses are tracers)
+            q0_v, band_h = bands
+            q0_v = jnp.asarray(q0_v, jnp.int32)      # (m, V)
+        else:
+            from cermvs_tpu.ops import rectify as rect_mod
+
+            intr_feat = np.asarray(intrinsics, np.float64).copy()
+            intr_feat[..., :2, :] /= factor
+            q0_np, band_h = rect_mod.plan_row_bands(
+                np.asarray(poses, np.float64), intr_feat, h, w, plan, m,
+                ghost)
+            q0_v = jnp.asarray(q0_np, jnp.int32)
+        # pad view columns replicating the last real view (as the poses do)
+        q0_all = (jnp.concatenate(
+            [q0_v, jnp.repeat(q0_v[:, -1:], pad, axis=1)], axis=1)
+            if pad else q0_v)                        # (m, V_pad)
         # one traced program serves every shard: per-view static kernel
         # windows cannot differ across shards — scene-wide bounds
         plan = dataclasses.replace(plan, view_rates=(), view_s_max=())

@@ -146,15 +146,21 @@ class InferenceRunner:
                                  kind="stable")])
 
     @property
+    def grid_mesh(self) -> bool:
+        return (self.mesh is not None and "row" in self.mesh.axis_names
+                and "view" in self.mesh.axis_names)
+
+    @property
     def row_mesh(self) -> bool:
-        return self.mesh is not None and "row" in self.mesh.axis_names
+        return (self.mesh is not None and "row" in self.mesh.axis_names
+                and not self.grid_mesh)
 
     @property
     def shape_multiple(self) -> int:
         """Image-H divisibility the forward requires (inference() crops to
-        it): the encoder stride, or 8 * n_shards under row sharding."""
+        it): the encoder stride, or 8 * n_row_shards under row sharding."""
         f = self.model.stride_factor
-        if self.row_mesh:
+        if self.row_mesh or self.grid_mesh:
             return max(f, 8 * int(self.mesh.shape["row"]))
         return f
 
@@ -164,7 +170,15 @@ class InferenceRunner:
         model = model or self.model
         cache_key = (shape, key)
         if cache_key not in self._cache:
-            if self.row_mesh:
+            if self.grid_mesh:
+                from cermvs_tpu.parallel.spatial import grid_sharded_forward
+
+                plan, band_h = key if key is not None else (None, 0)
+                self._cache[cache_key] = jax.jit(
+                    lambda p, im, po, k, s, q0: grid_sharded_forward(
+                        self.model, p, im, po, k, s, self.mesh, plan=plan,
+                        bands=(q0, band_h) if plan is not None else None))
+            elif self.row_mesh:
                 from cermvs_tpu.parallel.spatial import row_sharded_forward
 
                 # ``key`` = (plan, band_h) for the banded rectified
@@ -218,7 +232,7 @@ class InferenceRunner:
             order = self._neighbor_order(poses[0])
             images, poses, intrinsics = (a[:, order] for a in
                                          (images, poses, intrinsics))
-            if self.row_mesh:
+            if self.row_mesh or self.grid_mesh:
                 key, q0 = self._row_plan(poses, intrinsics, scales, images)
             elif self.mesh is None:
                 model, key = self._rect_model(
@@ -233,7 +247,7 @@ class InferenceRunner:
         k = jnp.asarray(intrinsics)
         s = jnp.asarray(np.asarray(scales, np.float32))
         fn = self._fn(tuple(im.shape[:4]), model, key)
-        if self.row_mesh:
+        if self.row_mesh or self.grid_mesh:
             assert images.shape[0] == 1, "row sharding supports batch 1"
             n_sh = int(self.mesh.shape["row"])
             if q0 is None:

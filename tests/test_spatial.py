@@ -297,6 +297,40 @@ def test_grid_sharded_rectified_runs():
     assert np.isfinite(out).all()
 
 
+def test_inference_runner_grid_mesh():
+    """A ('row', 'view') mesh routes through grid_sharded_forward: exact
+    equals the unsharded runner on disparities; auto plans bands and runs."""
+    from cermvs_tpu.pipeline.inference import InferenceRunner
+
+    images, poses, intrinsics = _scene()
+    model = RAFT(test_mode=True, cascade=((8, 64, 1), (-1, 320, 1)),
+                 hyp_chunk=4, dtype=jnp.float32)
+    scale = 1.0
+    params = model.init(jax.random.PRNGKey(0), images, poses, intrinsics,
+                        jnp.ones((1,), jnp.float32))
+    base = InferenceRunner(params, model=model, construction="exact")
+    ref = base(np.asarray(images[0]), np.asarray(poses[0]),
+               np.asarray(intrinsics[0]), scale)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4),
+                axis_names=("row", "view"))
+    grid = InferenceRunner(params, model=model, mesh=mesh,
+                           construction="exact")
+    assert grid.grid_mesh and not grid.row_mesh
+    assert grid.shape_multiple == 16
+    out = grid(np.asarray(images[0]), np.asarray(poses[0]),
+               np.asarray(intrinsics[0]), scale)
+    to_disp = lambda d: np.where(d == 0, 0, 1.0 / np.where(d == 0, 1, d))
+    np.testing.assert_allclose(to_disp(out), to_disp(ref), rtol=1e-3,
+                               atol=1e-3)
+
+    auto = InferenceRunner(params, model=model, mesh=mesh,
+                           construction="auto")
+    out_r = auto(np.asarray(images[0]), np.asarray(poses[0]),
+                 np.asarray(intrinsics[0]), scale)
+    assert out_r.shape == ref.shape and np.isfinite(out_r).all()
+
+
 def test_row_sharded_forward_bf16_runs():
     """bf16 (production dtype) smoke: the sharded program compiles and
     produces finite disparities of the right shape.
