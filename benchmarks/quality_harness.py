@@ -473,23 +473,27 @@ def eval_pipeline(scene_name, H, W, n_views, nf, out_dir, seed=0,
 
 
 def _read_ply_xyz(path):
-    """Minimal PLY reader (xyz of the fused cloud)."""
+    """Minimal PLY reader (xyz of the fused cloud): parses the property
+    list for the true vertex byte stride (the writer emits float32 x/y/z +
+    uchar r/g/b = 15 bytes/vertex — io/ply.py)."""
+    sizes = {"float": 4, "float32": 4, "double": 8, "uchar": 1, "uint8": 1,
+             "int": 4, "int32": 4, "short": 2, "ushort": 2}
     with open(path, "rb") as f:
         n = 0
-        props = 0
+        stride = 0
         while True:
             line = f.readline().decode("ascii", "ignore").strip()
             if line.startswith("element vertex"):
                 n = int(line.split()[-1])
-            if line.startswith("property") and n and props is not None:
-                props += 1
-            if line == "end_header":
+            elif line.startswith("property") and n:
+                stride += sizes.get(line.split()[1], 4)
+            elif line == "end_header":
                 break
-        data = np.fromfile(f, np.float32)
+        raw = f.read(n * stride)
     if n == 0:
         return np.zeros((0, 3), np.float64)
-    stride = max(props, 3) if props else len(data) // max(n, 1)
-    return data[: n * stride].reshape(n, stride)[:, :3].astype(np.float64)
+    rec = np.frombuffer(raw, np.uint8).reshape(n, stride)
+    return rec[:, :12].copy().view(np.float32).astype(np.float64)
 
 
 def main():
