@@ -1,0 +1,182 @@
+"""Production-scale accuracy through a TRAINED operator (QUALITY.md §trained).
+
+QUALITY.md's main table uses a weight-free WTA probe; this script closes the
+loop the way the reference's DTU evaluation would: TRAIN the real model
+(full cascade, rectified construction, the actual training loop) on the
+harness's analytic-GT synthetic scene family, then run test-mode inference
+at the production shape (1152x1600, 10 neighbors) on HELD-OUT scenes and
+report depth error vs the analytic surface — for BOTH constructions through
+the same trained weights, so the rectified path's cost is measured where it
+matters: at the end of the real pipeline.
+
+Usage (TPU):  python benchmarks/quality_trained.py [--steps 800]
+              [--train-size 384 512] [--eval-size 1152 1600] [--cpu]
+
+Writes one markdown table to stdout and a JSON line at the end.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=800)
+    ap.add_argument("--train-size", type=int, nargs=2, default=[384, 512])
+    ap.add_argument("--eval-size", type=int, nargs=2, default=[1152, 1600])
+    ap.add_argument("--train-nf", type=int, default=4)
+    ap.add_argument("--eval-nf", type=int, default=10)
+    ap.add_argument("--scenes", default="plane,sphere,step")
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--extra-size", type=int, nargs=2, default=None)
+    # the depth-L1 is clamped at 100 mm (reference loss.py:22-25): pixels
+    # further off get ZERO depth gradient, so the disparity term must keep
+    # contributing — cap the curriculum weight below 1 for short schedules
+    # (the reference ramps over its full 216k steps)
+    ap.add_argument("--gw-cap", type=float, default=0.5)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        os.environ["PALLAS_AXON_POOL_IPS"] = ""
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        from cermvs_tpu.utils.relay import require_tpu_relay
+
+        require_tpu_relay()
+        import jax
+
+    import jax.numpy as jnp
+
+    from bench import dtu_ring_poses
+    from benchmarks.quality_harness import SCENES, build_scan, depth_error_stats
+    from cermvs_tpu.models.raft import RAFT
+    from cermvs_tpu.ops.corr_rectified import make_rectified_volume_fn
+    from cermvs_tpu.ops.rectify import plan_rectification, plan_union
+    from cermvs_tpu.pipeline.inference import InferenceRunner
+    from cermvs_tpu.training.optim import fetch_optimizer
+    from cermvs_tpu.training.step import init_state, make_train_step
+
+    Ht, Wt = args.train_size
+    He, We = args.eval_size
+    nf_t, nf_e = args.train_nf, args.eval_nf
+    scene_names = args.scenes.split(",")
+
+    # ---- training scans: scene family x texture seeds x sizes, analytic GT
+    def render_set(H, W, seeds):
+        fx = 2892.0 * W / 1600
+        K = np.array([[fx, 0, W / 2], [0, fx, H / 2], [0, 0, 1]], np.float64)
+        scans = []
+        for name in scene_names:
+            for seed in seeds:
+                scene = SCENES[name](seed, px_mm=600.0 / fx)
+                poses = dtu_ring_poses(nf_t + 1,
+                                       np.random.RandomState(10 + seed))
+                images, gts = build_scan(scene, poses, K, H, W)
+                scans.append({
+                    "images": images[None].astype(np.float32),
+                    "depths": gts[None].astype(np.float32),
+                    "poses": poses[None].astype(np.float32),
+                    "intrinsics": np.tile(K.astype(np.float32),
+                                          (1, nf_t + 1, 1, 1)),
+                })
+        return scans
+
+    train_scans = render_set(Ht, Wt, (0, 1, 2))
+    if args.extra_size:
+        # a second, larger resolution narrows the train->eval texture-
+        # frequency gap (one extra compiled step per shape bucket)
+        He2, We2 = args.extra_size
+        train_scans += render_set(He2, We2, (3,))
+    print(f"rendered {len(train_scans)} training scans "
+          f"({Ht}x{Wt}{' + ' + str(args.extra_size) if args.extra_size else ''},"
+          f" nf{nf_t})", flush=True)
+
+    def scan_plan(s):
+        H, W = s["images"].shape[2:4]
+        K4 = np.asarray(s["intrinsics"][0], np.float64).copy()
+        K4[:, :2] /= 4.0
+        return plan_rectification(s["poses"][0].astype(np.float64), K4,
+                                  H // 4, W // 4)
+
+    # one union plan per shape bucket (shapes are part of the compiled step)
+    plans = {}
+    for s in train_scans:
+        shp = s["images"].shape[2:4]
+        plans.setdefault(shp, []).append(scan_plan(s))
+    plans = {shp: plan_union(ps) for shp, ps in plans.items()}
+    plan = plans[(Ht, Wt)]
+    model_kw = ({"volume_fn": make_rectified_volume_fn(plan)}
+                if plan.ok else {})
+    print(f"train plan ok={plan.ok} twopass={getattr(plan, 'twopass', None)}",
+          flush=True)
+
+    model = RAFT(hyp_chunk=8, **model_kw)
+    tx, _ = fetch_optimizer(num_steps=args.steps, lr=args.lr)
+    dev = {k: jnp.asarray(v) for k, v in train_scans[0].items()}
+    state = init_state(model, tx, jax.random.PRNGKey(0), dev)
+    # params are architecture-only: one state serves every shape bucket's
+    # step (each bucket gets its own plan-matched volume_fn)
+    steps_by_shape = {}
+    for shp, pl in plans.items():
+        kw = {"volume_fn": make_rectified_volume_fn(pl)} if pl.ok else {}
+        steps_by_shape[shp] = make_train_step(RAFT(hyp_chunk=8, **kw), tx,
+                                              donate=False)
+
+    rng = np.random.RandomState(0)
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        scan = train_scans[rng.randint(len(train_scans))]
+        batch = {k: jnp.asarray(v) for k, v in scan.items()}
+        gw = min(args.gw_cap, i / max(args.steps, 1))
+        step = steps_by_shape[scan["images"].shape[2:4]]
+        state, metrics = step(state, batch, gw)
+        if i % 100 == 0 or i == args.steps - 1:
+            print(f"step {i}: loss={float(metrics['loss']):.4f} "
+                  f"depth_err={float(metrics.get('mean_depth_error', np.nan)):.2f} "
+                  f"({time.perf_counter() - t0:.0f}s)", flush=True)
+    params = {"params": jax.device_get(state.params)}
+
+    # ---- held-out eval at the production shape, both constructions
+    fx_e = 2892.0 * We / 1600
+    Ke = np.array([[fx_e, 0, We / 2], [0, fx_e, He / 2], [0, 0, 1]],
+                  np.float64)
+    results = {}
+    print("| scene | construction | median mm | p90 mm | <2mm |")
+    print("|---|---|---|---|---|")
+    for name in scene_names:
+        scene = SCENES[name](7, px_mm=600.0 / fx_e)  # held-out texture seed
+        poses = dtu_ring_poses(nf_e + 1, np.random.RandomState(99))
+        images, _ = build_scan(scene, poses, Ke, He, We)
+        K4e = Ke.copy()
+        K4e[:2] /= 4.0
+        gt4 = scene.depth(poses[0].astype(np.float64), K4e, He // 4, We // 4)
+        intr = np.tile(Ke.astype(np.float32), (nf_e + 1, 1, 1))
+        for construction in ("exact", "rectified"):
+            runner = InferenceRunner(params, construction=construction,
+                                     hyp_chunk=8)
+            t1 = time.perf_counter()
+            depth = runner(images.astype(np.float32),
+                           poses.astype(np.float32), intr, 1.0)
+            stats = depth_error_stats(np.asarray(depth), gt4)
+            stats["seconds"] = round(time.perf_counter() - t1, 2)
+            results[f"{name}_{construction}"] = stats
+            print(f"| {name} | {construction} | {stats['median_mm']:.3f} | "
+                  f"{stats['p90_mm']:.3f} | {stats['frac_lt_2mm']:.3f} |",
+                  flush=True)
+    print(json.dumps({"steps": args.steps, "train": f"{Ht}x{Wt}",
+                      "eval": f"{He}x{We}", **{
+                          k: round(v["median_mm"], 3)
+                          for k, v in results.items()}}))
+
+
+if __name__ == "__main__":
+    main()
