@@ -456,6 +456,42 @@ class RectPlan:
             return lo, hi, self.view_s_max[v]
         return self.rate_lo, self.rate_hi, self.s_max
 
+    def covers(self, other: "RectPlan") -> bool:
+        """True iff a builder compiled for ``self`` is sound for any batch
+        whose own plan is ``other``.
+
+        Plans are over-approximations (grids large enough, rate intervals /
+        disparity bands wide enough): a superset plan serves a narrower
+        batch exactly the way :func:`plan_union` serves the widest sample
+        of a training batch.  The one non-monotone field is ``twopass`` —
+        its host gate (:func:`_twopass_ok`) sampled a 25% margin around the
+        OTHER plan's grids, so a twopass step may only be reused while
+        self's grids stay inside that sampled domain (the same rule
+        :func:`plan_union` applies when merging)."""
+        if not (self.ok and other.ok):
+            return False
+        if len(self.view_s_max) != len(other.view_s_max):
+            return False
+        if not (self.h_r >= other.h_r and self.w_r >= other.w_r
+                and self.s_max >= other.s_max and self.s_neg >= other.s_neg
+                and self.rate_lo <= other.rate_lo + 1e-12
+                and self.rate_hi >= other.rate_hi - 1e-12):
+            return False
+        if bool(self.view_rates) != bool(other.view_rates):
+            return False
+        for (slo, shi), (olo, ohi), ss, os_ in zip(
+                self.view_rates, other.view_rates,
+                self.view_s_max, other.view_s_max):
+            if not (slo <= olo + 1e-12 and shi >= ohi - 1e-12 and ss >= os_):
+                return False
+        if self.twopass:
+            if not other.twopass:
+                return False
+            if (self.h_r > 1.25 * other.h_r or self.w_r > 1.25 * other.w_r
+                    or self.s_max > other.s_max + 0.25 * other.ws_r):
+                return False
+        return True
+
 
 def _round_up(v: float, m: int) -> int:
     return int(math.ceil(v / m)) * m
@@ -889,6 +925,62 @@ def _snap_rates(rate_lo: float, rate_hi: float) -> Tuple[float, float]:
     lo = math.exp(math.floor(math.log(lo) / step) * step)
     hi = math.exp(math.ceil(math.log(hi) / step) * step)
     return float(lo), float(hi)
+
+
+def widen_plan(plan: RectPlan, notches: int = 2) -> RectPlan:
+    """Outward-widen a plan's rate intervals by ``notches`` steps of the
+    snap grid (1.15 per notch), staying on the grid.
+
+    Used by :class:`PlanCache` before compiling a step for a cache miss:
+    the snapped per-batch plans of a long training run land on MANY nearby
+    grid points (each baseline/augmentation jitter moves lo/hi by a point
+    or two, and per-view rates multiply the combinations), so caching the
+    exact plan compiles a near-new step per batch.  A widened plan COVERS
+    the whole neighborhood, collapsing the stream into a handful of
+    compiled variants at the cost of slightly wider static kernel select
+    windows (the epiband kernel's band width scales with ``rate_hi``; two
+    notches cost ~32% extra window at the top end).
+    """
+    if not plan.ok:
+        return plan
+    f = 1.15 ** notches
+
+    def out(lo, hi):
+        return _snap_rates(lo / f, hi * f)
+
+    lo, hi = out(plan.rate_lo, plan.rate_hi)
+    return RectPlan(
+        plan.h_r, plan.w_r, plan.s_max, plan.s_neg, True, "",
+        rate_lo=lo, rate_hi=hi,
+        view_rates=tuple(out(a, b) for a, b in plan.view_rates),
+        view_s_max=plan.view_s_max, twopass=plan.twopass)
+
+
+class PlanCache:
+    """Bounds compile-cache growth under pose diversity.
+
+    ``key_for(plan)`` returns the cached covering plan if one exists
+    (its compiled step is sound for this batch — see
+    :meth:`RectPlan.covers`), else registers and returns a widened
+    version of ``plan``.  Deterministic: every host replaying the same
+    plan stream makes the same decisions, so multi-host training keeps
+    compiling identical steps (train.pick_step allgathers plans first).
+    """
+
+    def __init__(self, notches: int = 2):
+        self.notches = notches
+        self._plans: list = []
+
+    def key_for(self, plan: RectPlan) -> RectPlan:
+        for q in self._plans:
+            if q.covers(plan):
+                return q
+        wide = widen_plan(plan, self.notches)
+        self._plans.append(wide)
+        return wide
+
+    def __len__(self) -> int:
+        return len(self._plans)
 
 
 # ---------------------------------------------------------------------------

@@ -70,8 +70,14 @@ def train(
     # per LOCAL shard, so the builder's static per-sample loop never slices
     # the sharded axis.  Multi-host: per-host plans (computed from the LOCAL
     # batch) are allgathered and every host takes the same plan_union, so
-    # all processes compile the identical step.
+    # all processes compile the identical step.  Compiled steps are keyed
+    # through a PlanCache: a cached step whose (widened) plan COVERS the
+    # batch's plan is reused, so long-run pose diversity stays bounded to a
+    # handful of compiled variants (tests/test_train_rectified.py).
+    from cermvs_tpu.ops.rectify import PlanCache
+
     _rect_steps = {}
+    _plan_cache = PlanCache()
 
     def pick_step(batch):
         """Choose the compiled step from the HOST batch (call before
@@ -99,6 +105,7 @@ def train(
             plan = plan_union(unpack_plan(v, n_views) for v in vecs)
         if not plan.ok:
             return step_fn
+        plan = _plan_cache.key_for(plan)
         if plan not in _rect_steps:
             m = RAFT(volume_fn=make_rectified_volume_fn(plan))
             _rect_steps[plan] = make_train_step(m, tx, mesh=mesh)

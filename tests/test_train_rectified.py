@@ -104,3 +104,57 @@ def test_train_loop_rectified(tmp_path, monkeypatch, forward_motion):
         assert all(np.isfinite(a).all() for a in leaves)
     finally:
         clear_config()
+
+
+def test_plan_bucketing_bounds_compile_cache():
+    """Long-run compile-cache growth: snapped plan grids must collapse a
+    diverse stream of training batches into FEW distinct plans.
+
+    Simulates DTU-like pose diversity across many batches — jittered
+    baseline lengths, small rotations, and scale-augmentation intrinsics
+    jitter (random_scale_and_crop scales fx/fy by 2^U(-0.15, 0.5)) — and
+    routes every batch's ``plan_union`` result through the same
+    :class:`PlanCache` that ``train.pick_step`` keys compiled steps by;
+    each distinct key costs one compiled train step."""
+    from cermvs_tpu.ops.rectify import (PlanCache, plan_rectification,
+                                        plan_union)
+
+    B, n, H, W, f = 2, 4, 32, 64, 4
+    rng = np.random.RandomState(7)
+    cache = PlanCache()
+    raw_plans = set()
+    n_batches = 200
+    for _ in range(n_batches):
+        batch_plans = []
+        aug = 2.0 ** rng.uniform(-0.15, 0.5)  # data/augment.py scale law
+        for _b in range(B):
+            poses = np.tile(np.eye(4), (n, 1, 1))
+            for i in range(1, n):
+                bx = (1.0 + 0.35 * rng.rand()) * (-1) ** i
+                poses[i, 0, 3] = bx
+                poses[i, 1, 3] = 0.08 * rng.randn()
+                # small rotation around y (realistic convergent rig)
+                a = 0.03 * rng.randn()
+                ca, sa = np.cos(a), np.sin(a)
+                poses[i, :3, :3] = np.array(
+                    [[ca, 0, sa], [0, 1, 0], [-sa, 0, ca]])
+            fx = 40.0 * aug
+            K = np.array([[fx, 0, W / 2], [0, fx, H / 2], [0, 0, 1]])
+            Kf = K.copy()
+            Kf[:2] /= f
+            batch_plans.append(
+                plan_rectification(poses, np.tile(Kf, (n, 1, 1)),
+                                   H // f, W // f))
+        plan = plan_union(batch_plans)
+        assert plan.ok, plan.reason
+        raw_plans.add(plan)
+        key = cache.key_for(plan)
+        # the compiled step's (widened) plan must be sound for this batch
+        assert key.covers(plan)
+    # 200 diverse batches must bucket into a handful of compiled variants
+    assert len(cache) <= 8, (
+        f"{len(cache)} compiled-step buckets from {n_batches} batches "
+        f"({len(raw_plans)} raw plans) — PlanCache widening is "
+        "fragmenting the jit cache")
+    # and the cache must actually be doing work (raw plans fragment)
+    assert len(raw_plans) > len(cache)
