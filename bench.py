@@ -134,6 +134,12 @@ def main():
     maps_per_sec = 1.0 / dt
 
     from cermvs_tpu.utils.flops import device_peak_flops, flops_of, mfu
+    from cermvs_tpu.utils.memory import device_memory_stats
+
+    def peak_hbm_gb():
+        return round(max((s["peak_bytes_in_use_mb"]
+                          for s in device_memory_stats().values()),
+                         default=0.0) / 1024, 2)
 
     # FLOP counting happens on the CPU backend's HLO cost model (the axon
     # client exposes none); the Pallas epiband kernel cannot lower for CPU,
@@ -157,6 +163,9 @@ def main():
                          "reference publishes no latency); train baseline "
                          "0.21 steps/s/chip is derived from its README",
         "device_kind": jax.devices()[0].device_kind,
+        # device-wide high-water mark since process start (covers the
+        # cost-volume build — inference.py:52-56/utils/memory.py parity)
+        "peak_hbm_gb": peak_hbm_gb(),
     }
     if fwd_flops is not None:
         result["inference_gflops_per_map"] = round(fwd_flops / 1e9, 1)
@@ -171,10 +180,64 @@ def main():
         print(json.dumps(result), flush=True)
         try:
             result.update(train_bench())
+            result["train_peak_hbm_gb"] = peak_hbm_gb()
         except Exception as e:  # keep the inference artifact on any failure
             result["train_error"] = repr(e)[:200]
 
+    if "--no-shapes" not in sys.argv and not small:
+        # production shapes beyond the scale-1 headline: DTU scale-2 and the
+        # TNT nf15/nf25 passes (demo.py:26-62's full contract).  Each row
+        # lands incrementally so a late timeout keeps earlier rows.
+        print(json.dumps(result), flush=True)
+        result["shapes"] = []
+        for sh, sw, nf, note in [(2304, 3200, 10, "DTU scale-2"),
+                                 (1088, 1920, 15, "TNT low-res nf15"),
+                                 (1088, 1920, 25, "TNT low-res nf25")]:
+            try:
+                row = shape_bench(sh, sw, nf, construction)
+                row["note"] = note
+                row["peak_hbm_gb_cum"] = peak_hbm_gb()
+            except Exception as e:
+                row = {"shape": f"{sh}x{sw} nf{nf}", "note": note,
+                       "error": repr(e)[:200]}
+            result["shapes"].append(row)
+            print(json.dumps(result), flush=True)
+
     print(json.dumps(result))
+
+
+def shape_bench(h, w, nf, construction, iters=1):
+    """Throughput at one (H, W, num_frames) inference shape, through the
+    SAME InferenceRunner dispatch path production uses (plan gating, memory
+    budget, mixed fallback)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cermvs_tpu.models.raft import RAFT
+    from cermvs_tpu.pipeline.inference import InferenceRunner
+
+    n = nf + 1
+    rng = np.random.RandomState(2)
+    images = (rng.rand(n, h, w, 3) * 255).astype(np.float32)
+    K = np.array([[2892.0 * w / 1600, 0, w / 2],
+                  [0, 2892.0 * w / 1600, h / 2], [0, 0, 1]], np.float32)
+    intr = np.tile(K, (n, 1, 1))
+    poses = dtu_ring_poses(n, None)
+
+    model = RAFT(test_mode=True, hyp_chunk=8)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.asarray(images[None, :2]),
+        jnp.asarray(poses[None, :2]), jnp.asarray(intr[None, :2]),
+        jnp.ones((1,), jnp.float32))
+    runner = InferenceRunner(params, construction=construction, hyp_chunk=8)
+    # compile + warmup
+    _ = runner(images, poses, intr, 1.0)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        _ = runner(images, poses, intr, 1.0)
+    dt = (time.perf_counter() - t0) / iters
+    return {"shape": f"{h}x{w} nf{nf}", "maps_per_sec": round(1.0 / dt, 4),
+            "seconds_per_view": round(dt, 3)}
 
 
 def train_bench(batch=2, H=1056, W=1440, N=11):

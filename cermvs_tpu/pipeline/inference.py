@@ -58,6 +58,13 @@ class InferenceRunner:
         self._rect_models: Dict[object, object] = {}
         self._warned_fallback = False
         self._jax = jax
+        # batched (view_batch > 1) rectified dispatch: plans of the B ref
+        # views union per batch (exactly the training-path bucketing) and
+        # key compiled programs through a PlanCache so ref-view diversity
+        # across batches stays bounded to a few compiled variants
+        from cermvs_tpu.ops.rectify import PlanCache
+
+        self._plan_cache = PlanCache()
 
     def _plan_for(self, poses, intrinsics, scale, img_shape,
                   mem_shards: int = 1):
@@ -134,6 +141,46 @@ class InferenceRunner:
                 volume_fn=make_mixed_volume_fn(pplan, rect_views),
                 **self.model_kwargs)
         return self._rect_models[key], key
+
+    def _rect_model_batched(self, images, poses, intrinsics, scales):
+        """Rectified construction for a BATCH of reference views: per-sample
+        plans union into one static plan (the training path's bucketing,
+        ``training/train.py pick_step``), and compiled programs key through
+        the PlanCache so pose diversity across batches stays bounded.  Falls
+        back to the exact path (model=None) when any sample rejects or the
+        B-scaled feature budget is exceeded.  Returns the per-sample
+        canonically-reordered arrays alongside (model, key) — replaces the
+        B==1-only restriction that forfeited the fast construction for
+        small-scene batching (``core/raft.py:63-69`` rationale)."""
+        from cermvs_tpu.models.raft import RAFT
+        from cermvs_tpu.ops.corr_rectified import make_rectified_volume_fn
+        from cermvs_tpu.ops.rectify import plan_union
+
+        B = images.shape[0]
+        images, poses, intrinsics = (np.array(a) for a in
+                                     (images, poses, intrinsics))
+        for b in range(B):
+            order = self._neighbor_order(poses[b])
+            images[b], poses[b], intrinsics[b] = (
+                images[b][order], poses[b][order], intrinsics[b][order])
+        plans = [self._plan_for(poses[b], intrinsics[b], scales[b],
+                                images[b].shape[1:3]) for b in range(B)]
+        if not all(p.ok for p in plans):
+            return None, None, images, poses, intrinsics
+        plan = plan_union(plans)
+        if not plan.ok:
+            return None, None, images, poses, intrinsics
+        V = poses.shape[1] - 1
+        rect_bytes = (2 * B * V * plan.h_r * (plan.w_r + plan.ws_r)
+                      * self.model.dim_fmap)
+        if rect_bytes > self.rect_memory_budget:
+            return None, None, images, poses, intrinsics
+        plan = self._plan_cache.key_for(plan)
+        if plan not in self._rect_models:
+            self._rect_models[plan] = RAFT(
+                test_mode=True, volume_fn=make_rectified_volume_fn(plan),
+                **self.model_kwargs)
+        return self._rect_models[plan], plan, images, poses, intrinsics
 
     @staticmethod
     def _neighbor_order(poses) -> np.ndarray:
@@ -218,11 +265,15 @@ class InferenceRunner:
         intrinsics = np.asarray(intrinsics, np.float32)
         model, key = None, None
         q0 = None
-        # rectified construction requires B==1 (one ref view per forward);
-        # view_batch>1 runs use the exact path.  Under a mesh the plan is
-        # handed to view_sharded_forward (scene-wide kernel windows) or,
-        # for a row mesh, to row_sharded_forward with host-planned bands.
+        # Under a mesh the plan is handed to view_sharded_forward
+        # (scene-wide kernel windows) or, for a row mesh, to
+        # row_sharded_forward with host-planned bands.  view_batch>1
+        # (unmeshed) unions the B ref views' plans like the training path.
         if (self.construction in ("rectified", "auto")
+                and images.shape[0] > 1 and self.mesh is None):
+            model, key, images, poses, intrinsics = self._rect_model_batched(
+                images, poses, intrinsics, scales)
+        elif (self.construction in ("rectified", "auto")
                 and images.shape[0] == 1):
             # canonicalize neighbor order by baseline: view aggregation is
             # permutation-invariant (mean/max/std over views), and sorted
@@ -314,7 +365,8 @@ def inference(
     view_batch: int = 1,
     construction: str = "auto",
 ):
-    # NOTE view_batch > 1 amortizes fixed costs for SMALL scenes; at
+    # NOTE view_batch > 1 amortizes fixed costs for SMALL scenes (and now
+    # keeps the rectified fast construction via per-batch plan unions); at
     # production sizes it increases HBM pressure and measured 2.7x SLOWER
     # per view on a 16 GB chip (benchmarks/profile_viewbatch.py) — keep 1
     # unless images are small.
@@ -352,7 +404,16 @@ def inference(
 
     def emit(name, depth, tic):
         if do_report:
-            print(f"per view time: {time.perf_counter() - tic:.3f}s ({name})")
+            # the reference's do_report probes peak memory at the
+            # cost-volume high-water mark (core/corr.py:98-99 ->
+            # utils/memory.py:4-11); the device peak_bytes stat covers that
+            # mark since it tracks the whole forward's high water
+            from cermvs_tpu.utils.memory import device_memory_stats
+
+            peak = max((s["peak_bytes_in_use_mb"]
+                        for s in device_memory_stats().values()), default=0.0)
+            print(f"per view time: {time.perf_counter() - tic:.3f}s  "
+                  f"peak HBM: {peak:.0f} MB ({name})")
         write_pfm(output_folder / "depths"
                   / f"{name}_scale{rescale}_nf{num_frames}.pfm", depth)
         if write_min_depth is not None:

@@ -573,6 +573,64 @@ class TestInferenceRunnerIntegration:
         assert not runner._rect_models  # exact path used
         assert np.isfinite(depth).all()
 
+    def test_batched_rectified_matches_per_view(self):
+        """view_batch > 1 keeps the rectified fast path via per-batch plan
+        unions (training-path bucketing) — batched submit must reproduce the
+        per-view results and engage the rectified model."""
+        from cermvs_tpu.models.raft import RAFT
+        from cermvs_tpu.pipeline.inference import InferenceRunner
+
+        B = 3
+        scenes = []
+        for b in range(B):
+            images, poses, intr = self._scene()
+            poses = poses.copy()
+            poses[1, 0, 3] = -(1.2 + 0.15 * b)   # per-ref baseline jitter
+            poses[2, 0, 3] = 1.6 + 0.1 * b
+            scenes.append((images, poses, intr))
+
+        kwargs = dict(cascade=((8, 0.5, 2),), dtype=jnp.float32,
+                      rect_lambda_max=0.1)
+        model = RAFT(test_mode=True, cascade=((8, 0.5, 2),),
+                     dtype=jnp.float32)
+        im0, po0, k0 = scenes[0]
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.asarray(im0[None]),
+            jnp.asarray(po0[None]), jnp.asarray(k0[None]),
+            jnp.asarray([1.0]))
+
+        r_single = InferenceRunner(params, construction="auto", **kwargs)
+        per_view = np.stack([r_single(im, po, k, 1.0)
+                             for im, po, k in scenes])
+        assert r_single._rect_models, "per-view rectified not engaged"
+
+        r_batch = InferenceRunner(params, construction="auto", **kwargs)
+        fut = r_batch.submit_batch(
+            np.stack([s[0] for s in scenes]), np.stack([s[1] for s in scenes]),
+            np.stack([s[2] for s in scenes]), [1.0] * B)
+        batched = r_batch.finalize_batch(fut)
+        assert r_batch._rect_models, "batched rectified not engaged"
+        assert len(r_batch._plan_cache) == 1
+        # union plans widen kernel windows but lateral-motion sampling stays
+        # lossless: same tolerance as the per-view auto-vs-exact test
+        np.testing.assert_allclose(batched, per_view, rtol=1e-3, atol=1e-4)
+
+        # a second batch with jittered geometry must REUSE the compiled
+        # program (PlanCache covering) instead of compiling a new variant
+        scenes2 = []
+        for b in range(B):
+            images, poses, intr = self._scene()
+            poses = poses.copy()
+            poses[1, 0, 3] = -(1.25 + 0.12 * b)
+            poses[2, 0, 3] = 1.55 + 0.11 * b
+            scenes2.append((images, poses, intr))
+        fut2 = r_batch.submit_batch(
+            np.stack([s[0] for s in scenes2]),
+            np.stack([s[1] for s in scenes2]),
+            np.stack([s[2] for s in scenes2]), [1.0] * B)
+        assert np.isfinite(r_batch.finalize_batch(fut2)).all()
+        assert len(r_batch._plan_cache) == 1
+
     def test_auto_falls_back_on_forward_motion(self):
         from cermvs_tpu.pipeline.inference import InferenceRunner
         from cermvs_tpu.models.raft import RAFT
