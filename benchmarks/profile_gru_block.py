@@ -16,7 +16,7 @@ from cermvs_tpu.models.update import UpdateBlock
 from cermvs_tpu.ops import corr as corr_ops
 from cermvs_tpu.ops.corr import CorrPyramid, build_pyramid
 
-B, H, W = 2, 132, 176
+B, H, W = 1, 288, 400
 CASCADE = ((64, 64, 8), (-1, 320, 8))
 rng = np.random.RandomState(0)
 

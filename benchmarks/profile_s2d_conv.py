@@ -99,16 +99,21 @@ def s2d_kernel_w(w, p):
     return jnp.asarray(wp).astype(w.dtype), lo, hi
 
 
-def conv_s2d_w(x, w, p=2):
-    """Exact conv3x3 via W-packed layout."""
+def conv_s2d_packed(x, wp, p, lo, hi, kh=3):
+    """Exact conv via a PRE-PACKED kernel (wp built host-side: the packing
+    scatter is numpy and must not trace)."""
     B, Hx, Wx, C = x.shape
-    N = w.shape[-1]
-    wp, lo, hi = s2d_kernel_w(w, p)
+    N = wp.shape[-1] // p
     xp = pack_w(x, p)
     out = jax.lax.conv_general_dilated(
-        xp, wp, (1, 1), ((w.shape[0] // 2, w.shape[0] // 2), (-lo, hi)),
+        xp, wp, (1, 1), ((kh // 2, kh // 2), (-lo, hi)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     return out.reshape(B, Hx, Wx, N)
+
+
+def conv_s2d_w(x, w, p=2):
+    wp, lo, hi = s2d_kernel_w(w, p)
+    return conv_s2d_packed(x, wp, p, lo, hi, w.shape[0])
 
 
 # correctness (CPU-identical math check happens on TPU too, small tolerance)
@@ -129,8 +134,10 @@ for Cin, Cout, note in [(177, 128, "zr"), (177, 64, "q"), (64, 256, "d1"),
     gf = 2 * 9 * M * Cin * Cout / 1e9
     timeit(f"conv3x3 {Cin}->{Cout} ({note}) XLA", conv, x, w, gflop=gf)
     for p in (2, 4):
+        wpk, lo, hi = s2d_kernel_w(w, p)
         timeit(f"conv3x3 {Cin}->{Cout} ({note}) s2d p={p}",
-               lambda x, w, p=p: conv_s2d_w(x, w, p), x, w, gflop=gf)
+               lambda x, wpk, p=p, lo=lo, hi=hi: conv_s2d_packed(
+                   x, wpk, p, lo, hi), x, wpk, gflop=gf)
 
 
 # ---- pallas vmem matmul, larger tiles --------------------------------------

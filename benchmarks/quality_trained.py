@@ -40,6 +40,11 @@ def main():
     # contributing — cap the curriculum weight below 1 for short schedules
     # (the reference ramps over its full 216k steps)
     ap.add_argument("--gw-cap", type=float, default=0.5)
+    ap.add_argument("--pipeline", action="store_true",
+                    help="also run depths->multires->fusion with the "
+                         "trained operator and score the fused cloud")
+    ap.add_argument("--pipeline-size", type=int, nargs=2, default=[576, 800])
+    ap.add_argument("--pipeline-views", type=int, default=6)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -172,10 +177,101 @@ def main():
             print(f"| {name} | {construction} | {stats['median_mm']:.3f} | "
                   f"{stats['p90_mm']:.3f} | {stats['frac_lt_2mm']:.3f} |",
                   flush=True)
-    print(json.dumps({"steps": args.steps, "train": f"{Ht}x{Wt}",
-                      "eval": f"{He}x{We}", **{
-                          k: round(v["median_mm"], 3)
-                          for k, v in results.items()}}))
+    line = {"steps": args.steps, "train": f"{Ht}x{Wt}",
+            "eval": f"{He}x{We}", **{
+                k: round(v["median_mm"], 3) for k, v in results.items()}}
+
+    if args.pipeline:
+        # full pipeline with the TRAINED operator: depths at rescale 1 and 2
+        # through the real file contract -> multires -> adaptive fusion ->
+        # cloud vs the analytic surface (the reference's demo.py:26-62
+        # contract, scored in closed form)
+        Hp, Wp = args.pipeline_size
+        print("| scene | points | accuracy mm | completeness mm |")
+        print("|---|---|---|---|")
+        for name in scene_names:
+            r = eval_pipeline_trained(
+                params, name, Hp, Wp, n_views=args.pipeline_views,
+                nf=args.pipeline_views - 1,
+                out_dir=f"results/quality_trained/{name}")
+            line[f"{name}_pipeline_acc"] = round(r["accuracy_mm"], 3)
+            line[f"{name}_pipeline_comp"] = round(r["completeness_mm"], 3)
+            print(f"| {name} | {r['n_points']} | {r['accuracy_mm']:.3f} | "
+                  f"{r['completeness_mm']:.3f} |", flush=True)
+
+    print(json.dumps(line))
+
+
+def eval_pipeline_trained(params, scene_name, H, W, n_views, nf, out_dir,
+                          construction="auto", hyp_chunk=8):
+    """Trained-model depths (rescale 1 and 2) -> multires -> fusion ->
+    accuracy/completeness vs the analytic surface.  Mirrors
+    quality_harness.eval_pipeline but through the REAL InferenceRunner."""
+    from pathlib import Path
+
+    from bench import dtu_ring_poses
+    from benchmarks.quality_harness import SCENES, _read_ply_xyz, build_scan
+    from cermvs_tpu.io.pfm import write_pfm
+    from cermvs_tpu.pipeline.fusion import fusion
+    from cermvs_tpu.pipeline.inference import InferenceRunner
+    from cermvs_tpu.pipeline.multires import multires
+
+    fx1 = 2892.0 * W / 1600
+    scene = SCENES[scene_name](11, px_mm=600.0 / (2 * fx1))  # held-out seed
+    out = Path(out_dir)
+    (out / "depths").mkdir(parents=True, exist_ok=True)
+    poses = dtu_ring_poses(n_views, np.random.RandomState(1))
+    runner = InferenceRunner(params, construction=construction,
+                             hyp_chunk=hyp_chunk)
+
+    scans = {}
+    for rescale, (Hr, Wr) in ((1, (H, W)), (2, (2 * H, 2 * W))):
+        K = np.array([[2892.0 * Wr / 1600, 0, Wr / 2],
+                      [0, 2892.0 * Wr / 1600, Hr / 2], [0, 0, 1]], np.float64)
+        images, _ = build_scan(scene, poses, K, Hr, Wr)
+        scans[rescale] = (K, images)
+        for ref in range(n_views):
+            order = [ref] + [j for j in range(n_views) if j != ref][:nf]
+            depth = runner(
+                images[order].astype(np.float32),
+                poses[order].astype(np.float32),
+                np.tile(K.astype(np.float32), (len(order), 1, 1)), 1.0)
+            write_pfm(out / "depths" / f"{ref}_scale{rescale}_nf{nf}.pfm",
+                      np.asarray(depth, np.float32))
+
+    multires(out, suffix1=f"_nf{nf}", suffix2=f"_nf{nf}")
+
+    class _Loader:
+        num_frames = nf
+
+        def __len__(self):
+            return n_views
+
+        def __iter__(self):
+            K, images = scans[1]
+            for ref in range(n_views):
+                order = [ref] + [j for j in range(n_views) if j != ref][:nf]
+                yield (np.clip(images[order] + 128.0, 0, 255),
+                       poses[order],
+                       np.tile(K.astype(np.float32), (len(order), 1, 1)),
+                       [str(j) for j in order], 1.0)
+
+    ply = fusion(_Loader(), out, rescale=2, suffix=f"_nf{nf}_nf{nf}_th0.02",
+                 tot_iter=4)
+
+    verts = _read_ply_xyz(ply)
+    rng = np.random.RandomState(2)
+    acc = (float(np.median(scene.surface_distance(verts)))
+           if len(verts) else float("nan"))
+    comp = float("nan")
+    if len(verts):
+        surf = scene.surface_samples(20000, rng)
+        sub = verts[rng.choice(len(verts), min(len(verts), 20000),
+                               replace=False)]
+        d2 = ((surf[:, None, :] - sub[None, :, :]) ** 2).sum(-1)
+        comp = float(np.median(np.sqrt(d2.min(1))))
+    return {"n_points": int(len(verts)), "accuracy_mm": acc,
+            "completeness_mm": comp, "ply": str(ply)}
 
 
 if __name__ == "__main__":
