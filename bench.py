@@ -116,9 +116,18 @@ def main():
     params = jax.jit(model.init)(jax.random.PRNGKey(0), images, poses,
                                  intrinsics, scale)
 
-    fwd = jax.jit(lambda p, im, po, k, s: model.apply(p, im, po, k, s))
+    # AOT-compile: the compiled executable both runs the timing loop and
+    # reports its static HBM footprint (device.memory_stats() returns {}
+    # through the axon relay, so runtime peaks are unavailable — the
+    # compiled program's argument+output+temp sizes ARE the planned peak)
+    fwd_l = jax.jit(
+        lambda p, im, po, k, s: model.apply(p, im, po, k, s)).lower(
+            params, images, poses, intrinsics, scale)
+    fwd_c = fwd_l.compile()
+    ma = fwd_c.memory_analysis()
+    fwd = lambda *a: fwd_c(*a)
 
-    # compile + warmup (host fetch forces real completion through the
+    # warmup (host fetch forces real completion through the
     # remote-execution path — block_until_ready alone has proven unreliable
     # on tunneled backends)
     out = fwd(params, images, poses, intrinsics, scale)
@@ -170,10 +179,17 @@ def main():
                          "reference publishes no latency); train baseline "
                          "0.21 steps/s/chip is derived from its README",
         "device_kind": jax.devices()[0].device_kind,
-        # device-wide high-water mark since process start (covers the
-        # cost-volume build — inference.py:52-56/utils/memory.py parity)
-        "peak_hbm_gb": peak_hbm_gb(),
+        # planned HBM peak of the compiled forward (args+outputs+temps;
+        # covers the cost-volume build high-water mark — the
+        # inference.py:52-56/utils/memory.py parity point).  Runtime
+        # memory_stats() is empty through the axon relay.
+        "peak_hbm_gb": round(
+            (ma.argument_size_in_bytes + ma.output_size_in_bytes
+             + ma.temp_size_in_bytes) / 2 ** 30, 2),
     }
+    live = peak_hbm_gb()
+    if live:
+        result["peak_hbm_gb_runtime"] = live
     if fwd_flops is not None:
         result["inference_gflops_per_map"] = round(fwd_flops / 1e9, 1)
         m = mfu(fwd_flops, dt)
@@ -187,7 +203,6 @@ def main():
         print(json.dumps(result), flush=True)
         try:
             result.update(train_bench())
-            result["train_peak_hbm_gb"] = peak_hbm_gb()
         except Exception as e:  # keep the inference artifact on any failure
             result["train_error"] = repr(e)[:200]
 
@@ -203,7 +218,6 @@ def main():
             try:
                 row = shape_bench(sh, sw, nf, construction)
                 row["note"] = note
-                row["peak_hbm_gb_cum"] = peak_hbm_gb()
             except Exception as e:
                 row = {"shape": f"{sh}x{sw} nf{nf}", "note": note,
                        "error": repr(e)[:200]}
@@ -281,7 +295,11 @@ def train_bench(batch=2, H=1056, W=1440, N=11):
     model = RAFT(hyp_chunk=8, **model_kw)
     tx, _ = fetch_optimizer(num_steps=1000)
     state = init_state(model, tx, jax.random.PRNGKey(0), batch_data)
-    step = make_train_step(model, tx, donate=False)
+    step_l = make_train_step(model, tx, donate=False).lower(
+        state, batch_data, 0.5)
+    step_c = step_l.compile()
+    tma = step_c.memory_analysis()
+    step = lambda *a: step_c(*a)
 
     state, metrics = step(state, batch_data, 0.5)
     _ = float(metrics["loss"])
@@ -297,6 +315,9 @@ def train_bench(batch=2, H=1056, W=1440, N=11):
         "train_value": round(1.0 / dt, 4),
         "train_unit": "steps/s",
         "train_vs_baseline": round(1.0 / dt / 0.21, 3),
+        "train_peak_hbm_gb": round(
+            (tma.argument_size_in_bytes + tma.output_size_in_bytes
+             + tma.temp_size_in_bytes) / 2 ** 30, 2),
     }
     # FLOPs via the pure-XLA oracle builder (the Pallas kernel cannot lower
     # on the CPU cost-model backend; same matmul structure)

@@ -79,7 +79,7 @@ t1i = timeit("stage1 (incl feats)", stage1_ctx, fmaps, org1)
 def backwarp_only(fm):
     ctx = feats(fm)
     geo, warped = ctx
-    fwx, fwy = geo["fwd_xy"]
+    fwx, fwy = geo["fwd_xy"] if geo["fwd_xy"] is not None else (None, None)
     acc = None
     for v in range(n - 1):
         vol = (warped[v][0][:, : plan.w_r // 2] @
@@ -87,7 +87,11 @@ def backwarp_only(fm):
         # shape (h_r, w_r//2 ... ) — build a (h_r, w_r, 64) stand-in volume
         vol = jnp.broadcast_to(vol[:, :, :1], (plan.h_r, plan.w_r // 2, 64))
         vol = jnp.concatenate([vol, vol], axis=1)
-        bw = rectify.warp_image(vol, fwx[v], fwy[v])
+        if fwx is None:
+            bw = rectify.warp_image_twopass(
+                vol.astype(jnp.bfloat16), geo["H_fwd"][v], h, w)
+        else:
+            bw = rectify.warp_image(vol, fwx[v], fwy[v])
         acc = bw if acc is None else acc + bw
     return acc
 

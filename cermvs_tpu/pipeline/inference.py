@@ -318,6 +318,12 @@ class InferenceRunner:
         h = H // f
         # per-shard block must hold the rect ghost margin
         if H % (8 * n_sh) != 0 or h // n_sh < GHOST_RECT:
+            if not self._warned_fallback:
+                print(f"[inference] row-mesh rectified bands unavailable "
+                      f"(H={H} needs H%{8 * n_sh}==0 and >= {GHOST_RECT} "
+                      f"feature rows/shard); using the exact row-sharded "
+                      f"path")
+                self._warned_fallback = True
             return None, None
         plan = self._plan_for(poses[0], intrinsics[0], scales[0], (H, W),
                               mem_shards=n_sh)
