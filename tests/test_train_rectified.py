@@ -158,3 +158,49 @@ def test_plan_bucketing_bounds_compile_cache():
         "fragmenting the jit cache")
     # and the cache must actually be doing work (raw plans fragment)
     assert len(raw_plans) > len(cache)
+
+
+def test_plan_covers_and_widen():
+    """RectPlan.covers / widen_plan invariants used by PlanCache."""
+    from cermvs_tpu.ops.rectify import RectPlan, widen_plan
+
+    base = RectPlan(64, 128, 96, 8, True, "", rate_lo=0.8, rate_hi=1.2,
+                    view_rates=((0.8, 1.0), (0.9, 1.2)),
+                    view_s_max=(64, 96), twopass=False)
+    wide = widen_plan(base)
+    assert wide.covers(base)
+    assert not base.covers(wide)          # covering is one-directional
+    assert wide.rate_lo <= base.rate_lo and wide.rate_hi >= base.rate_hi
+    for (wl, wh), (bl, bh) in zip(wide.view_rates, base.view_rates):
+        assert wl <= bl and wh >= bh
+
+    # narrower batch plan: covered; wider: not
+    nar = RectPlan(48, 128, 80, 8, True, "", rate_lo=0.9, rate_hi=1.1,
+                   view_rates=((0.9, 1.0), (0.9, 1.1)),
+                   view_s_max=(48, 80), twopass=False)
+    assert wide.covers(nar)
+    big = RectPlan(64, 256, 96, 8, True, "", rate_lo=0.8, rate_hi=1.2,
+                   view_rates=base.view_rates, view_s_max=base.view_s_max,
+                   twopass=False)
+    assert not wide.covers(big)           # wider grid than compiled
+
+    # view-count mismatch never covers
+    other = RectPlan(64, 128, 96, 8, True, "", rate_lo=0.8, rate_hi=1.2,
+                     view_rates=((0.8, 1.2),), view_s_max=(96,),
+                     twopass=False)
+    assert not wide.covers(other)
+
+    # not-ok plans neither cover nor are covered
+    bad = RectPlan(0, 0, 0, 0, False, "forward motion")
+    assert not wide.covers(bad) and not bad.covers(base)
+
+    # twopass: a twopass step must not serve a non-twopass batch, and its
+    # sampled-gate margin bounds how far the compiled grids may exceed the
+    # batch's own
+    tp = RectPlan(64, 128, 96, 8, True, "", rate_lo=0.8, rate_hi=1.2,
+                  view_rates=base.view_rates, view_s_max=base.view_s_max,
+                  twopass=True)
+    ntp_batch = RectPlan(64, 128, 96, 8, True, "", rate_lo=0.9, rate_hi=1.1,
+                         view_rates=base.view_rates,
+                         view_s_max=base.view_s_max, twopass=False)
+    assert not tp.covers(ntp_batch)
