@@ -221,6 +221,7 @@ def fusion(
     view_batch: int = 0,
     stream: bool = False,
     stream_above_bytes: int = 4 << 30,
+    multihost: bool = True,
 ):
     """Adaptive-threshold fusion.  ``view_batch`` > 0 processes that many
     reference views per device call (vectorized); with a ``mesh`` the batch
@@ -236,8 +237,21 @@ def fusion(
     scene size, so TNT-advanced-scale scans (hundreds of 1080p+ views) fuse
     on 16 GB chips.  The adaptive search re-uploads per iteration — the
     same recompute schedule as the in-memory path, which also re-runs the
-    kernel per iteration; results bit-match."""
+    kernel per iteration; results bit-match.
+
+    Multi-host (``multihost`` and ``jax.process_count() > 1``): ref views are
+    round-robin split across processes; every iteration the per-host mask
+    ratios are allgathered so ALL hosts binary-search the SAME global
+    threshold (the reference's SLURM-sharded fusion jobs each search their
+    own -- ``fusion.py:296-299`` semantics are preserved globally here), and
+    host 0 merges the per-host PLY shards from the shared filesystem.  The
+    compute (consistency kernels) is what distributes; each host still
+    iterates the loader for scene metadata."""
+    import jax
     import jax.numpy as jnp
+
+    pc = jax.process_count() if multihost else 1
+    pid = jax.process_index() if multihost else 0
 
     output_folder = Path(output_folder)
     n_images = len(data_loader)
@@ -299,6 +313,12 @@ def fusion(
         srcs = [refid_to_index[x] for x in srcids]
         assert srcs, "reference view needs at least one source"
         groups.setdefault(len(srcs), []).append((ref, srcs))
+
+    if pc > 1:
+        # round-robin split of each group's ref views across processes;
+        # compute distributes, the threshold search stays GLOBAL (below)
+        groups = {k: v[pid::pc] for k, v in groups.items()}
+        groups = {k: v for k, v in groups.items() if v}
 
     mesh_key = register_fusion_mesh(mesh) if mesh is not None else None
     shard_n = int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
@@ -369,15 +389,45 @@ def fusion(
                     for k, (ref, _) in enumerate(chunk):
                         emit_points(ref, gm[k], fd[k])
 
-        print(f"iter {it}: thre={10 ** thre:.5f} mean_mask={np.mean(mask_ratios):.4f}")
-        if np.mean(mask_ratios) >= glb:
+        if pc > 1:
+            # global mean over ALL hosts' views: every host updates the
+            # same threshold (deterministic, order-independent sums)
+            from jax.experimental import multihost_utils
+
+            v = multihost_utils.process_allgather(np.asarray(
+                [float(np.sum(mask_ratios)), float(len(mask_ratios))],
+                np.float64))
+            mean_mask = float(v[..., 0].sum() / max(v[..., 1].sum(), 1.0))
+        else:
+            mean_mask = float(np.mean(mask_ratios))
+        print(f"iter {it}: thre={10 ** thre:.5f} mean_mask={mean_mask:.4f}")
+        if mean_mask >= glb:
             thre_left = thre
         else:
             thre_right = thre
 
-    xyz = np.concatenate(vertexs, axis=0)
-    rgb = np.concatenate(vertex_colors, axis=0)
+    xyz = (np.concatenate(vertexs, axis=0) if vertexs
+           else np.zeros((0, 3), np.float32))
+    rgb = (np.concatenate(vertex_colors, axis=0) if vertex_colors
+           else np.zeros((0, 3), np.uint8))
     out = output_folder / "result.ply"
+    if pc > 1:
+        from cermvs_tpu.io.ply import read_ply
+        from jax.experimental import multihost_utils
+
+        shard = output_folder / f"result.part{pid}.ply"
+        write_ply(shard, xyz, rgb)
+        # barrier: every shard file is on the shared FS before the merge
+        multihost_utils.process_allgather(np.asarray([len(xyz)]))
+        if pid == 0:
+            parts = [read_ply(output_folder / f"result.part{q}.ply")
+                     for q in range(pc)]
+            write_ply(out, np.concatenate([a for a, _ in parts]),
+                      np.concatenate([b for _, b in parts]))
+            print("saving the final model to", out)
+        # exit barrier: callers on every host may read result.ply after
+        multihost_utils.process_allgather(np.asarray([0]))
+        return out
     write_ply(out, xyz, rgb)
     print("saving the final model to", out)
     return out

@@ -89,3 +89,74 @@ def test_two_process_training_matches_single(tmp_path):
     # pmean reduction order differs from the single-process layout: after 3
     # AdamW steps that costs ~1e-5 absolute on a handful of params
     np.testing.assert_allclose(p0, ps, rtol=1e-3, atol=2e-5)
+
+
+def _fusion_scene(scene_dir, n_views=8, H=24, W=32):
+    rng = np.random.RandomState(3)
+    depths = (rng.rand(n_views, H, W) * 2 + 9).astype(np.float32)
+    K = np.array([[40.0, 0, W / 2], [0, 40.0, H / 2], [0, 0, 1]], np.float32)
+    Ks = np.tile(K, (n_views, 1, 1))
+    Es = np.tile(np.eye(4, dtype=np.float32), (n_views, 1, 1))
+    Es[:, 0, 3] = 0.05 * np.arange(n_views)
+    images = (rng.rand(n_views, H, W, 3) * 255).astype(np.float32)
+    np.savez(scene_dir / "scene.npz", images=images, Ks=Ks, Es=Es,
+             n_views=n_views, H=H, W=W)
+    from cermvs_tpu.io.pfm import write_pfm
+
+    (scene_dir / "depths").mkdir(parents=True, exist_ok=True)
+    for i in range(n_views):
+        write_pfm(scene_dir / "depths" / f"{i}.pfm", depths[i])
+    return images, Ks, Es
+
+
+def test_two_process_fusion_matches_single(tmp_path):
+    """Multi-host fusion: view split + allgathered threshold + shard merge
+    must reproduce the single-process cloud exactly (same kernels, same
+    global threshold trajectory)."""
+    from cermvs_tpu.io.ply import read_ply
+    from cermvs_tpu.pipeline.fusion import fusion
+
+    scene = tmp_path / "scene"
+    scene.mkdir()
+    images, Ks, Es = _fusion_scene(scene)
+    n_views = 8
+
+    coord = f"127.0.0.1:{_free_port()}"
+    worker = os.path.join(os.path.dirname(__file__),
+                          "multihost_fusion_worker.py")
+
+    def spawn(pid):
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        return subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", coord, str(scene),
+             str(scene)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=REPO)
+
+    _wait([spawn(0), spawn(1)], timeout=900)
+    xyz_mh, rgb_mh = read_ply(scene / "result.ply")
+    assert len(xyz_mh) > 0
+
+    # single-process reference on the same scene files
+    import tests.multihost_fusion_worker as w
+
+    single = tmp_path / "single"
+    single.mkdir()
+    (single / "depths").mkdir()
+    for f in (scene / "depths").iterdir():
+        (single / "depths" / f.name).write_bytes(f.read_bytes())
+    np.savez(single / "scene.npz", images=images, Ks=Ks, Es=Es,
+             n_views=n_views, H=24, W=32)
+    loader = w.make_loader(str(single), n_views, 24, 32)
+    fusion(loader, str(single), suffix="", glb=0.25, rescale=1, tot_iter=4,
+           view_batch=0, multihost=False)
+    xyz_s, rgb_s = read_ply(single / "result.ply")
+
+    assert len(xyz_mh) == len(xyz_s)
+    # host-interleaved emit order differs; compare as sorted point sets
+    om = np.lexsort(xyz_mh.T)
+    os_ = np.lexsort(xyz_s.T)
+    np.testing.assert_allclose(xyz_mh[om], xyz_s[os_], rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(rgb_mh[om], rgb_s[os_])
