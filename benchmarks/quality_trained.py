@@ -45,6 +45,10 @@ def main():
                          "trained operator and score the fused cloud")
     ap.add_argument("--pipeline-size", type=int, nargs=2, default=[576, 800])
     ap.add_argument("--pipeline-views", type=int, default=6)
+    ap.add_argument("--params-out", default=None,
+                    help="npz to checkpoint trained params into")
+    ap.add_argument("--params-in", default=None,
+                    help="npz of trained params: skip training, eval only")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -138,17 +142,38 @@ def main():
 
     rng = np.random.RandomState(0)
     t0 = time.perf_counter()
-    for i in range(args.steps):
-        scan = train_scans[rng.randint(len(train_scans))]
-        batch = {k: jnp.asarray(v) for k, v in scan.items()}
-        gw = min(args.gw_cap, i / max(args.steps, 1))
-        step = steps_by_shape[scan["images"].shape[2:4]]
-        state, metrics = step(state, batch, gw)
-        if i % 100 == 0 or i == args.steps - 1:
-            print(f"step {i}: loss={float(metrics['loss']):.4f} "
-                  f"depth_err={float(metrics.get('mean_depth_error', np.nan)):.2f} "
-                  f"({time.perf_counter() - t0:.0f}s)", flush=True)
-    params = {"params": jax.device_get(state.params)}
+    if args.params_in:
+        data = np.load(args.params_in, allow_pickle=True)
+        flat = list(data["flat"])
+        treedef = jax.tree_util.tree_structure(state.params)
+        params = {"params": jax.tree_util.tree_unflatten(treedef, flat)}
+        print(f"loaded params from {args.params_in}; skipping training",
+              flush=True)
+    else:
+        # upload each scan ONCE and reuse: per-step uploads leak host
+        # buffers in the tunnel client (~27 MB/step; a 2000-step run wedged
+        # at 54 GB RSS)
+        dev_scans = [{k: jnp.asarray(v) for k, v in s.items()}
+                     for s in train_scans]
+        for i in range(args.steps):
+            j = rng.randint(len(dev_scans))
+            batch = dev_scans[j]
+            gw = min(args.gw_cap, i / max(args.steps, 1))
+            step = steps_by_shape[train_scans[j]["images"].shape[2:4]]
+            state, metrics = step(state, batch, gw)
+            if i % 100 == 0 or i == args.steps - 1:
+                print(f"step {i}: loss={float(metrics['loss']):.4f} "
+                      f"depth_err="
+                      f"{float(metrics.get('mean_depth_error', np.nan)):.2f} "
+                      f"({time.perf_counter() - t0:.0f}s)", flush=True)
+            if args.params_out and (i % 400 == 399 or i == args.steps - 1):
+                flat = [np.asarray(x) for x in
+                        jax.tree_util.tree_leaves(
+                            jax.device_get(state.params))]
+                np.savez(args.params_out, flat=np.asarray(
+                    flat, dtype=object), step=i)
+                print(f"  saved params at step {i}", flush=True)
+        params = {"params": jax.device_get(state.params)}
 
     # ---- held-out eval at the production shape, both constructions
     fx_e = 2892.0 * We / 1600
