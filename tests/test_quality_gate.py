@@ -44,7 +44,13 @@ def test_rectified_wta_close_to_exact_and_gt():
         f"rectified plan rejected: {res.get('rectified')}")
     quantum = (600.0 ** 2) * (0.0025 / 320)
     assert res["exact"]["median_mm"] < 3 * quantum, res["exact"]
+    # measured envelope: +0.5 mm construction delta on plane at this scale
+    # (docstring table); gate at +1.2 mm (< 0.45 stage-1 quantum) so a
+    # ~0.7 mm-class construction regression trips — NOT the round-2 +3 mm
+    # band, which only caught quantum-scale breakage
     assert (res["rectified"]["median_mm"]
-            < res["exact"]["median_mm"] + 3.0), (
+            < res["exact"]["median_mm"] + 1.2), (
         res["exact"], res["rectified"])
     assert res["agreement"]["s0_within1"] >= 0.85, res["agreement"]
+    # the trained-regime 0.5 mm-sensitivity gate lives in
+    # tests/test_quality_trained.py (quantum-relative, trained operator)
