@@ -65,9 +65,12 @@ def dtu_ring_poses(n, rs):
 
 
 def main():
-    from cermvs_tpu.utils.relay import require_tpu_relay
+    from cermvs_tpu.utils.relay import require_tpu_relay, wait_for_tpu_relay
 
-    require_tpu_relay()  # jax.devices() hangs (not errors) when the relay is down
+    # the relay flaps for ~1-2 min between jobs; give it time before the
+    # hard fail (jax.devices() hangs, not errors, when it is down)
+    wait_for_tpu_relay(max_wait=300.0)
+    require_tpu_relay()
 
     import jax
     import jax.numpy as jnp

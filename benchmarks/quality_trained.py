@@ -150,14 +150,21 @@ def main():
         print(f"loaded params from {args.params_in}; skipping training",
               flush=True)
     else:
-        # upload each scan ONCE and reuse: per-step uploads leak host
-        # buffers in the tunnel client (~27 MB/step; a 2000-step run wedged
-        # at 54 GB RSS)
-        dev_scans = [{k: jnp.asarray(v) for k, v in s.items()}
-                     for s in train_scans]
+        # upload each scan ONCE and reuse when they fit next to the step's
+        # temps: per-step uploads leak host buffers in the tunnel client
+        # (~27 MB/step; a 2000-step run wedged at 54 GB RSS).  At full-crop
+        # sizes the resident scans OOM the 16 GB chip instead — keep them
+        # host-side there and accept the bounded leak.
+        scan_bytes = sum(v.nbytes for sc in train_scans for v in sc.values())
+        on_device = scan_bytes < 1.2e9
+        print(f"scans {'on device' if on_device else 'host-side'} "
+              f"({scan_bytes/1e9:.2f} GB)", flush=True)
+        dev_scans = ([{k: jnp.asarray(v) for k, v in s.items()}
+                      for s in train_scans] if on_device else train_scans)
         for i in range(args.steps):
             j = rng.randint(len(dev_scans))
-            batch = dev_scans[j]
+            batch = (dev_scans[j] if on_device else
+                     {k: jnp.asarray(v) for k, v in dev_scans[j].items()})
             gw = min(args.gw_cap, i / max(args.steps, 1))
             step = steps_by_shape[train_scans[j]["images"].shape[2:4]]
             state, metrics = step(state, batch, gw)

@@ -49,3 +49,16 @@ def require_tpu_relay() -> None:
             file=sys.stderr,
         )
         raise SystemExit(2)
+
+
+def wait_for_tpu_relay(max_wait: float = 300.0, poll: float = 15.0) -> bool:
+    """Poll the relay until it answers or ``max_wait`` elapses (it flaps for
+    a minute or two between jobs); returns readiness."""
+    import time
+
+    deadline = time.time() + max_wait
+    while time.time() < deadline:
+        if tpu_relay_up():
+            return True
+        time.sleep(poll)
+    return tpu_relay_up()
