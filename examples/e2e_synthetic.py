@@ -75,7 +75,16 @@ def main():
     parser.add_argument("--size", type=int, nargs=2, default=[1152, 1600])
     parser.add_argument("--num_frames", type=int, default=3)
     parser.add_argument("--out", default="results/e2e_synthetic")
+    parser.add_argument("--cpu", action="store_true",
+                        help="run on the CPU backend (default targets the "
+                             "real TPU through the axon tunnel — do NOT run "
+                             "two TPU jobs concurrently, DEVNOTES.md)")
     args = parser.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     import jax
     from cermvs_tpu.data.loader import DataLoader
