@@ -156,14 +156,30 @@ def main():
         # sizes the resident scans OOM the 16 GB chip instead — keep them
         # host-side there and accept the bounded leak.
         scan_bytes = sum(v.nbytes for sc in train_scans for v in sc.values())
-        on_device = scan_bytes < 1.2e9
-        print(f"scans {'on device' if on_device else 'host-side'} "
-              f"({scan_bytes/1e9:.2f} GB)", flush=True)
-        dev_scans = ([{k: jnp.asarray(v) for k, v in s.items()}
-                      for s in train_scans] if on_device else train_scans)
+        img_bytes = sum(sc["images"].nbytes for sc in train_scans)
+        if scan_bytes < 1.2e9:
+            mode = "device"
+        elif scan_bytes - img_bytes // 2 < 1.2e9:
+            # bf16-resident images (texture rounding ~0.4%: irrelevant for
+            # training; the model computes in bf16 anyway) bring full-crop
+            # scan sets under the HBM budget — avoiding both the per-step
+            # tunnel-client leak (OOM-killed a 700-step full-crop run at
+            # 126 GB RSS) and the device OOM of f32-resident scans
+            mode = "device-bf16"
+        else:
+            mode = "host"
+        print(f"scans {mode} ({scan_bytes/1e9:.2f} GB f32)", flush=True)
+        if mode == "host":
+            dev_scans = train_scans
+        else:
+            cast = (lambda k, v: jnp.asarray(v).astype(jnp.bfloat16)
+                    if mode == "device-bf16" and k == "images"
+                    else jnp.asarray(v))
+            dev_scans = [{k: cast(k, v) for k, v in s.items()}
+                         for s in train_scans]
         for i in range(args.steps):
             j = rng.randint(len(dev_scans))
-            batch = (dev_scans[j] if on_device else
+            batch = (dev_scans[j] if mode != "host" else
                      {k: jnp.asarray(v) for k, v in dev_scans[j].items()})
             gw = min(args.gw_cap, i / max(args.steps, 1))
             step = steps_by_shape[train_scans[j]["images"].shape[2:4]]
