@@ -254,14 +254,25 @@ def shape_bench(h, w, nf, construction, iters=1):
         jnp.asarray(poses[None, :2]), jnp.asarray(intr[None, :2]),
         jnp.ones((1,), jnp.float32))
     runner = InferenceRunner(params, construction=construction, hyp_chunk=8)
-    # compile + warmup
-    _ = runner(images, poses, intr, 1.0)
+    # compile + warmup; many-view rectified programs can exceed the dev
+    # relay's compile-request size cap (HTTP 413 at nf25) — fall back to
+    # the exact construction for the measurement rather than losing the row
+    try:
+        _ = runner(images, poses, intr, 1.0)
+    except Exception as e:
+        if construction == "exact":
+            raise
+        print(f"[shape_bench {h}x{w} nf{nf}] {type(e).__name__}; "
+              f"retrying with exact construction", file=sys.stderr)
+        construction = "exact"
+        runner = InferenceRunner(params, construction="exact", hyp_chunk=8)
+        _ = runner(images, poses, intr, 1.0)
     t0 = time.perf_counter()
     for _ in range(iters):
         _ = runner(images, poses, intr, 1.0)
     dt = (time.perf_counter() - t0) / iters
     return {"shape": f"{h}x{w} nf{nf}", "maps_per_sec": round(1.0 / dt, 4),
-            "seconds_per_view": round(dt, 3)}
+            "seconds_per_view": round(dt, 3), "construction": construction}
 
 
 def train_bench(batch=2, H=1056, W=1440, N=11):
