@@ -268,8 +268,14 @@ class InferenceRunner:
         # Under a mesh the plan is handed to view_sharded_forward
         # (scene-wide kernel windows) or, for a row mesh, to
         # row_sharded_forward with host-planned bands.  view_batch>1
-        # (unmeshed) unions the B ref views' plans like the training path.
-        if (self.construction in ("rectified", "auto")
+        # (unmeshed) unions the B ref views' plans like the training path —
+        # but only on EXPLICIT construction="rectified": measured at the
+        # small-scene shapes batching is for (384x512 nf6), vb=4 exact runs
+        # 4.30 maps/s vs 2.14 batched-rectified (the rectified builder's
+        # per-sample loop doesn't batch and union plans widen every view's
+        # kernel windows; benchmarks/profile_viewbatch_rect.py), so "auto"
+        # picks the exact path for batches.
+        if (self.construction == "rectified"
                 and images.shape[0] > 1 and self.mesh is None):
             model, key, images, poses, intrinsics = self._rect_model_batched(
                 images, poses, intrinsics, scales)

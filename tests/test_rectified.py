@@ -604,7 +604,9 @@ class TestInferenceRunnerIntegration:
                              for im, po, k in scenes])
         assert r_single._rect_models, "per-view rectified not engaged"
 
-        r_batch = InferenceRunner(params, construction="auto", **kwargs)
+        # batched rectified is explicit-only ("auto" picks exact for
+        # batches — measured faster; profile_viewbatch_rect.py)
+        r_batch = InferenceRunner(params, construction="rectified", **kwargs)
         fut = r_batch.submit_batch(
             np.stack([s[0] for s in scenes]), np.stack([s[1] for s in scenes]),
             np.stack([s[2] for s in scenes]), [1.0] * B)
