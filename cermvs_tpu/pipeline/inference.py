@@ -377,11 +377,13 @@ def inference(
     view_batch: int = 1,
     construction: str = "auto",
 ):
-    # NOTE view_batch > 1 amortizes fixed costs for SMALL scenes (and now
-    # keeps the rectified fast construction via per-batch plan unions); at
-    # production sizes it increases HBM pressure and measured 2.7x SLOWER
-    # per view on a 16 GB chip (benchmarks/profile_viewbatch.py) — keep 1
-    # unless images are small.
+    # NOTE view_batch > 1 amortizes fixed costs for SMALL scenes — measured
+    # 4.30 maps/s (vb=4, auto->exact) vs 3.27 (vb=1 rectified) at 384x512
+    # nf6 (benchmarks/profile_viewbatch_rect.py); at production sizes it
+    # increases HBM pressure and measured 2.7x SLOWER per view on a 16 GB
+    # chip (benchmarks/profile_viewbatch.py) — keep 1 unless images are
+    # small.  Batched + rectified exists (construction="rectified", plan
+    # unions) but measured slower than batched exact.
     """Run depth inference for every reference view of ``test_loader``.
 
     ``ckpt`` is an orbax params directory (see training.checkpoint); already
