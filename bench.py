@@ -230,10 +230,17 @@ def main():
     print(json.dumps(result))
 
 
-def shape_bench(h, w, nf, construction, iters=1):
+def shape_bench(h, w, nf, construction, iters=1, compare_exact=True):
     """Throughput at one (H, W, num_frames) inference shape, through the
     SAME InferenceRunner dispatch path production uses (plan gating, memory
-    budget, mixed fallback)."""
+    budget, mixed fallback).
+
+    When the measured path is rectified, also times the exact construction
+    at the same shape (``compare_exact``): TNT-class plans carry much wider
+    per-view epipolar windows than DTU's (mean view_s_max 2155 px vs 1299
+    at the same planner settings), so the per-shape winner is an empirical
+    question — the row reports both and headlines the faster one.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -253,26 +260,42 @@ def shape_bench(h, w, nf, construction, iters=1):
         jax.random.PRNGKey(0), jnp.asarray(images[None, :2]),
         jnp.asarray(poses[None, :2]), jnp.asarray(intr[None, :2]),
         jnp.ones((1,), jnp.float32))
-    runner = InferenceRunner(params, construction=construction, hyp_chunk=8)
+
+    def measure(constr):
+        runner = InferenceRunner(params, construction=constr, hyp_chunk=8)
+        _ = runner(images, poses, intr, 1.0)  # compile + warmup
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            _ = runner(images, poses, intr, 1.0)
+        return (time.perf_counter() - t0) / iters
+
     # compile + warmup; many-view rectified programs can exceed the dev
     # relay's compile-request size cap (HTTP 413 at nf25) — fall back to
     # the exact construction for the measurement rather than losing the row
     try:
-        _ = runner(images, poses, intr, 1.0)
+        dt = measure(construction)
     except Exception as e:
         if construction == "exact":
             raise
         print(f"[shape_bench {h}x{w} nf{nf}] {type(e).__name__}; "
               f"retrying with exact construction", file=sys.stderr)
         construction = "exact"
-        runner = InferenceRunner(params, construction="exact", hyp_chunk=8)
-        _ = runner(images, poses, intr, 1.0)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        _ = runner(images, poses, intr, 1.0)
-    dt = (time.perf_counter() - t0) / iters
-    return {"shape": f"{h}x{w} nf{nf}", "maps_per_sec": round(1.0 / dt, 4),
-            "seconds_per_view": round(dt, 3), "construction": construction}
+        dt = measure("exact")
+    row = {"shape": f"{h}x{w} nf{nf}", "maps_per_sec": round(1.0 / dt, 4),
+           "seconds_per_view": round(dt, 3), "construction": construction}
+    if compare_exact and construction != "exact":
+        try:
+            dt_ex = measure("exact")
+            row["seconds_per_view_exact"] = round(dt_ex, 3)
+            if dt_ex < dt:
+                row.update(maps_per_sec=round(1.0 / dt_ex, 4),
+                           seconds_per_view=round(dt_ex, 3),
+                           construction="exact",
+                           seconds_per_view_rectified=round(dt, 3))
+                del row["seconds_per_view_exact"]
+        except Exception as e:  # keep the primary measurement on any failure
+            row["exact_compare_error"] = repr(e)[:120]
+    return row
 
 
 def train_bench(batch=2, H=1056, W=1440, N=11):

@@ -493,6 +493,23 @@ class RectPlan:
         return True
 
 
+def rect_cost_ratio(plan: "RectPlan", h: int, w: int, n_views: int,
+                    d0: int = 64) -> float:
+    """Planned epiband work per unit of exact-construction work.
+
+    A shape-level proxy for choosing between constructions in "auto" mode:
+    the epiband kernels sweep ``h_r x (w_r + view_s_max_v)`` rectified rows
+    per view, while the exact gather path touches ``h*w*D`` samples per
+    view (stage-0 ``d0`` dominates).  Dimensionless; measured anchors at
+    the bench scenes: DTU scale-1 3.7 (rectified wins ~3x on chip),
+    TNT nf15 4.7, nf25 6.1 (see BENCH_NOTES.md round-3 shape rows)."""
+    views = (plan.view_s_max if plan.view_s_max
+             else (plan.s_max,) * max(n_views, 1))
+    rect = plan.h_r * sum(plan.w_r + s for s in views)
+    exact = h * w * d0 * max(n_views, 1)
+    return rect / max(exact, 1)
+
+
 def _round_up(v: float, m: int) -> int:
     return int(math.ceil(v / m)) * m
 

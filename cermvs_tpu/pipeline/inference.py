@@ -35,7 +35,8 @@ class InferenceRunner:
 
     def __init__(self, params, model=None, mesh=None, construction="auto",
                  rect_lambda_max: float = 0.00375,
-                 rect_memory_budget: float = 6e9, **model_kwargs):
+                 rect_memory_budget: float = 6e9,
+                 rect_cost_ratio_max: float = None, **model_kwargs):
         import jax
         from cermvs_tpu.models.raft import RAFT
 
@@ -54,6 +55,13 @@ class InferenceRunner:
         # Scale-2 passes with many views exceed any 16 GB chip — fall back
         # to the exact path rather than OOM.
         self.rect_memory_budget = rect_memory_budget
+        # optional "auto"-mode work gate: when the planned epiband work per
+        # unit of exact-construction work exceeds this ratio, auto picks the
+        # exact path.  TNT-class scenes plan much wider per-view epipolar
+        # windows than DTU's rig (measured proxies at the bench scenes:
+        # DTU s1 3.7, TNT nf15 4.7, nf25 6.1 — bench.py shape rows report
+        # both paths); None disables the gate pending on-chip calibration.
+        self.rect_cost_ratio_max = rect_cost_ratio_max
         self._cache: Dict[tuple, object] = {}
         self._rect_models: Dict[object, object] = {}
         self._warned_fallback = False
@@ -71,7 +79,8 @@ class InferenceRunner:
         """Host-side per-sample rectification plan (not-ok when the exact
         path must be used).  ``mem_shards``: how many chips the view axis is
         split over — the persistent warped-feature budget is per chip."""
-        from cermvs_tpu.ops.rectify import RectPlan, plan_rectification
+        from cermvs_tpu.ops.rectify import (RectPlan, plan_rectification,
+                                            rect_cost_ratio)
 
         f = self.model.stride_factor
         poses = np.asarray(poses, np.float64).copy()
@@ -90,6 +99,15 @@ class InferenceRunner:
                 plan = RectPlan(0, 0, 0, 0, False,
                                 f"rect features ~{rect_bytes / 1e9:.1f} GB "
                                 f"exceed budget")
+            elif (self.construction == "auto"
+                  and self.rect_cost_ratio_max is not None):
+                ratio = rect_cost_ratio(
+                    plan, img_shape[0] // f, img_shape[1] // f, V)
+                if ratio > self.rect_cost_ratio_max:
+                    plan = RectPlan(0, 0, 0, 0, False,
+                                    f"planned epiband work ratio "
+                                    f"{ratio:.1f} > "
+                                    f"{self.rect_cost_ratio_max:.1f}")
         if not plan.ok and (self.construction == "rectified"
                             and not self._warned_fallback):
             print(f"[inference] rectified construction unavailable "
@@ -458,6 +476,17 @@ def inference(
         for name, depth in zip(names, depths):
             emit(name, depth, tic)
 
+    def rotate(pending, buf):
+        # dispatch batch i BEFORE fetching batch i-1: the dispatch is async
+        # under jax, so the host->device upload and the ~25-30 ms dispatch
+        # round-trip overlap batch i-1's device compute, and the i-1 fetch
+        # then overlaps batch i's compute (measured 3.13 -> 3.55 maps/s in
+        # bench.py with this schedule vs fetch-then-dispatch)
+        nxt = flush(buf)
+        if pending is not None:
+            drain(pending)
+        return nxt
+
     for images, poses, intrinsics, image_names, scale in test_loader:
         images, intrinsics = scale_operation(images, intrinsics, rescale)
         if crop is not None:
@@ -465,19 +494,13 @@ def inference(
         # static-shape requirement: trim to the encoder stride
         images, intrinsics = pad_to_multiple(images, intrinsics, factor)
         if buf and buf[0][1].shape != images.shape:
-            if pending is not None:
-                drain(pending)
-            pending = flush(buf)
+            pending = rotate(pending, buf)
             buf = []
         buf.append((image_names[0], images, poses, intrinsics, scale))
         if len(buf) >= max(1, view_batch):
-            if pending is not None:
-                drain(pending)
-            pending = flush(buf)
+            pending = rotate(pending, buf)
             buf = []
     if buf:
-        if pending is not None:
-            drain(pending)
-        pending = flush(buf)
+        pending = rotate(pending, buf)
     if pending is not None:
         drain(pending)

@@ -573,6 +573,48 @@ class TestInferenceRunnerIntegration:
         assert not runner._rect_models  # exact path used
         assert np.isfinite(depth).all()
 
+    def test_auto_falls_back_on_cost_ratio(self):
+        """rect_cost_ratio_max gates the auto mode on planned epiband work
+        (TNT-class wide-window scenes); a tiny threshold must route to the
+        exact path, None (default) must keep the rectified one."""
+        from cermvs_tpu.models.raft import RAFT
+        from cermvs_tpu.ops.rectify import plan_rectification, rect_cost_ratio
+        from cermvs_tpu.pipeline.inference import InferenceRunner
+
+        images, poses, intr = self._scene()
+        model = RAFT(test_mode=True, cascade=((8, 0.5, 2),),
+                     dtype=jnp.float32)
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.asarray(images[None]),
+            jnp.asarray(poses[None]), jnp.asarray(intr[None]),
+            jnp.asarray([1.0]))
+        kwargs = dict(rect_lambda_max=0.1, cascade=((8, 0.5, 2),),
+                      dtype=jnp.float32)
+        gated = InferenceRunner(params, construction="auto",
+                                rect_cost_ratio_max=1e-6, **kwargs)
+        d_gated = gated(images, poses, intr, 1.0)
+        assert not gated._rect_models  # exact path used
+        open_ = InferenceRunner(params, construction="auto", **kwargs)
+        d_open = open_(images, poses, intr, 1.0)
+        assert open_._rect_models      # rectified path kept
+        assert np.isfinite(d_gated).all() and np.isfinite(d_open).all()
+        # the proxy itself: scale-invariant-ish, positive, and monotone in
+        # the window widths
+        f = model.stride_factor
+        intr_f = intr.astype(np.float64).copy()
+        intr_f[..., :2, :] /= f
+        h, w = images.shape[1] // f, images.shape[2] // f
+        plan = plan_rectification(poses.astype(np.float64), intr_f, h, w,
+                                  lambda_max=0.1)
+        assert plan.ok
+        r = rect_cost_ratio(plan, h, w, poses.shape[0] - 1)
+        assert r > 0
+        import dataclasses
+        wider = dataclasses.replace(
+            plan, view_s_max=tuple(2 * s for s in plan.view_s_max)
+            or (), s_max=2 * plan.s_max)
+        assert rect_cost_ratio(wider, h, w, poses.shape[0] - 1) > r
+
     def test_batched_rectified_matches_per_view(self):
         """view_batch > 1 keeps the rectified fast path via per-batch plan
         unions (training-path bucketing) — batched submit must reproduce the
