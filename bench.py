@@ -262,39 +262,43 @@ def shape_bench(h, w, nf, construction, iters=1, compare_exact=True):
         jnp.ones((1,), jnp.float32))
 
     def measure(constr):
+        """(seconds/view, resolved path) — 'auto' may gate to exact."""
         runner = InferenceRunner(params, construction=constr, hyp_chunk=8)
         _ = runner(images, poses, intr, 1.0)  # compile + warmup
         t0 = time.perf_counter()
         for _ in range(iters):
             _ = runner(images, poses, intr, 1.0)
-        return (time.perf_counter() - t0) / iters
+        dt = (time.perf_counter() - t0) / iters
+        return dt, ("rectified" if runner._rect_models else "exact")
 
     # compile + warmup; many-view rectified programs can exceed the dev
     # relay's compile-request size cap (HTTP 413 at nf25) — fall back to
     # the exact construction for the measurement rather than losing the row
     try:
-        dt = measure(construction)
+        dt, resolved = measure(construction)
     except Exception as e:
         if construction == "exact":
             raise
         print(f"[shape_bench {h}x{w} nf{nf}] {type(e).__name__}; "
               f"retrying with exact construction", file=sys.stderr)
-        construction = "exact"
-        dt = measure("exact")
+        dt, resolved = measure("exact")
     row = {"shape": f"{h}x{w} nf{nf}", "maps_per_sec": round(1.0 / dt, 4),
-           "seconds_per_view": round(dt, 3), "construction": construction}
-    if compare_exact and construction != "exact":
+           "seconds_per_view": round(dt, 3), "construction": resolved}
+    if compare_exact:
+        # time the OTHER construction too (auto's work-ratio gate picks a
+        # winner per shape; the row carries the evidence for that choice)
+        other = "exact" if resolved == "rectified" else "rectified"
         try:
-            dt_ex = measure("exact")
-            row["seconds_per_view_exact"] = round(dt_ex, 3)
-            if dt_ex < dt:
-                row.update(maps_per_sec=round(1.0 / dt_ex, 4),
-                           seconds_per_view=round(dt_ex, 3),
-                           construction="exact",
-                           seconds_per_view_rectified=round(dt, 3))
-                del row["seconds_per_view_exact"]
+            dt_o, _ = measure(other)
+            row[f"seconds_per_view_{other}"] = round(dt_o, 3)
+            if dt_o < dt:
+                row.update(maps_per_sec=round(1.0 / dt_o, 4),
+                           seconds_per_view=round(dt_o, 3),
+                           construction=other)
+                row[f"seconds_per_view_{resolved}"] = round(dt, 3)
+                del row[f"seconds_per_view_{other}"]
         except Exception as e:  # keep the primary measurement on any failure
-            row["exact_compare_error"] = repr(e)[:120]
+            row["compare_error"] = repr(e)[:120]
     return row
 
 

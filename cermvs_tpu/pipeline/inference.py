@@ -36,7 +36,7 @@ class InferenceRunner:
     def __init__(self, params, model=None, mesh=None, construction="auto",
                  rect_lambda_max: float = 0.00375,
                  rect_memory_budget: float = 6e9,
-                 rect_cost_ratio_max: float = None, **model_kwargs):
+                 rect_cost_ratio_max: float = 4.2, **model_kwargs):
         import jax
         from cermvs_tpu.models.raft import RAFT
 
@@ -55,12 +55,13 @@ class InferenceRunner:
         # Scale-2 passes with many views exceed any 16 GB chip — fall back
         # to the exact path rather than OOM.
         self.rect_memory_budget = rect_memory_budget
-        # optional "auto"-mode work gate: when the planned epiband work per
-        # unit of exact-construction work exceeds this ratio, auto picks the
-        # exact path.  TNT-class scenes plan much wider per-view epipolar
-        # windows than DTU's rig (measured proxies at the bench scenes:
-        # DTU s1 3.7, TNT nf15 4.7, nf25 6.1 — bench.py shape rows report
-        # both paths); None disables the gate pending on-chip calibration.
+        # "auto"-mode work gate: when the planned epiband work per unit of
+        # exact-construction work exceeds this ratio, auto picks the exact
+        # path.  TNT-class scenes plan much wider per-view epipolar windows
+        # than DTU's rig; measured on one v5e chip (bench scenes): rectified
+        # wins at ratio <= 3.7 (DTU s1 0.28 vs 0.91 s/view, s2 27.8 vs
+        # 42.8) and loses at >= 4.7 (TNT nf15 8.1 vs 6.1 exact) — 4.2
+        # separates the regimes.  None disables the gate.
         self.rect_cost_ratio_max = rect_cost_ratio_max
         self._cache: Dict[tuple, object] = {}
         self._rect_models: Dict[object, object] = {}
@@ -102,7 +103,8 @@ class InferenceRunner:
             elif (self.construction == "auto"
                   and self.rect_cost_ratio_max is not None):
                 ratio = rect_cost_ratio(
-                    plan, img_shape[0] // f, img_shape[1] // f, V)
+                    plan, img_shape[0] // f, img_shape[1] // f, V,
+                    d0=self.model.cascade[0][0])
                 if ratio > self.rect_cost_ratio_max:
                     plan = RectPlan(0, 0, 0, 0, False,
                                     f"planned epiband work ratio "
