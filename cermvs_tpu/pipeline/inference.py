@@ -25,6 +25,34 @@ from cermvs_tpu.data.augment import crop_operation, pad_to_multiple, scale_opera
 from cermvs_tpu.io.pfm import write_pfm
 
 
+def _prefetched(iterable, fn, depth: int = 2):
+    """Apply ``fn`` to items of ``iterable`` in one background thread,
+    ``depth`` items ahead — host-side sample prep overlaps device compute
+    in the driver's software pipeline."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    end = object()
+
+    def worker():
+        try:
+            for item in iterable:
+                q.put(fn(item))
+        except BaseException as e:  # surface in the consumer
+            q.put(e)
+        q.put(end)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is end:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 class InferenceRunner:
     """Owns the model + params and a shape-bucketed jit cache.
 
@@ -280,7 +308,10 @@ class InferenceRunner:
         """
         import jax.numpy as jnp
 
-        images = np.asarray(images, np.float32)
+        if np.asarray(images).dtype != jnp.bfloat16:
+            # callers may pre-convert to bf16 off the critical path (the
+            # driver's prep prefetcher does — ~73 ms/view at DTU scale 1)
+            images = np.asarray(images, np.float32)
         poses = np.asarray(poses, np.float32)
         intrinsics = np.asarray(intrinsics, np.float32)
         model, key = None, None
@@ -319,7 +350,7 @@ class InferenceRunner:
                     poses[0], intrinsics[0], scales[0], images[0].shape[1:3],
                     mem_shards=int(self.mesh.shape.get("view", 1)))
                 key = plan if plan.ok else None
-        im = jnp.asarray(images.astype(jnp.bfloat16))
+        im = jnp.asarray(images.astype(jnp.bfloat16, copy=False))
         po = jnp.asarray(poses)
         k = jnp.asarray(intrinsics)
         s = jnp.asarray(np.asarray(scales, np.float32))
@@ -489,12 +520,24 @@ def inference(
             drain(pending)
         return nxt
 
-    for images, poses, intrinsics, image_names, scale in test_loader:
+    def prep(item):
+        # host-side prep off the critical path: resample/crop/pad + the
+        # fp32->bf16 conversion (~73 ms/view at DTU scale 1) run in the
+        # prefetch thread and overlap device compute; submit_batch passes
+        # bf16 images through untouched
+        import jax.numpy as jnp
+
+        images, poses, intrinsics, image_names, scale = item
         images, intrinsics = scale_operation(images, intrinsics, rescale)
         if crop is not None:
             images, intrinsics = crop_operation(images, intrinsics, *crop)
         # static-shape requirement: trim to the encoder stride
         images, intrinsics = pad_to_multiple(images, intrinsics, factor)
+        return (np.asarray(images).astype(jnp.bfloat16), poses, intrinsics,
+                image_names, scale)
+
+    for images, poses, intrinsics, image_names, scale in _prefetched(
+            test_loader, prep):
         if buf and buf[0][1].shape != images.shape:
             pending = rotate(pending, buf)
             buf = []
