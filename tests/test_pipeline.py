@@ -139,3 +139,26 @@ def test_inference_view_batched(tmp_path):
         # order (batched vs per-view executables), which perturbs fp32 sums
         # by ~5e-5 rel on CPU.  The paths are algorithmically identical.
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_prefetched_order_and_errors():
+    """_prefetched preserves order, applies fn in the worker, and re-raises
+    the producer's exception in the consumer."""
+    from cermvs_tpu.pipeline.inference import _prefetched
+
+    assert list(_prefetched(range(7), lambda x: x * x)) == [
+        x * x for x in range(7)]
+
+    def bad(x):
+        if x == 3:
+            raise ValueError("boom")
+        return x
+
+    out = []
+    try:
+        for v in _prefetched(range(7), bad):
+            out.append(v)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+    assert out == [0, 1, 2]
