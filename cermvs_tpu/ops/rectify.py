@@ -497,12 +497,14 @@ def rect_cost_ratio(plan: "RectPlan", h: int, w: int, n_views: int,
                     d0: int = 64) -> float:
     """Planned epiband work per unit of exact-construction work.
 
-    A shape-level proxy for choosing between constructions in "auto" mode:
-    the epiband kernels sweep ``h_r x (w_r + view_s_max_v)`` rectified rows
-    per view, while the exact gather path touches ``h*w*D`` samples per
-    view (stage-0 ``d0`` dominates).  Dimensionless; measured anchors at
-    the bench scenes: DTU scale-1 3.7 (rectified wins ~3x on chip),
-    TNT nf15 4.7, nf25 6.1 (see BENCH_NOTES.md round-3 shape rows)."""
+    A shape-level proxy for gating the rectified construction in "auto"
+    mode: the epiband kernels sweep ``h_r x (w_r + view_s_max_v)``
+    rectified rows per view, while the exact gather path touches
+    ``h*w*D`` samples per view (stage-0 ``d0`` dominates).  Dimensionless;
+    at FEATURE resolution the bench scenes measure 0.06-0.13 (DTU s1/s2,
+    TNT nf15/nf25 — see BENCH_NOTES.md round-3 shape rows, where the
+    rectified path wins or ties every production shape that compiles), so
+    only a pathological plan (ratio well above 1) warrants the gate."""
     views = (plan.view_s_max if plan.view_s_max
              else (plan.s_max,) * max(n_views, 1))
     rect = plan.h_r * sum(plan.w_r + s for s in views)

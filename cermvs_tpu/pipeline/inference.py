@@ -64,7 +64,7 @@ class InferenceRunner:
     def __init__(self, params, model=None, mesh=None, construction="auto",
                  rect_lambda_max: float = 0.00375,
                  rect_memory_budget: float = 6e9,
-                 rect_cost_ratio_max: float = 4.2, **model_kwargs):
+                 rect_cost_ratio_max: float = None, **model_kwargs):
         import jax
         from cermvs_tpu.models.raft import RAFT
 
@@ -83,13 +83,17 @@ class InferenceRunner:
         # Scale-2 passes with many views exceed any 16 GB chip — fall back
         # to the exact path rather than OOM.
         self.rect_memory_budget = rect_memory_budget
-        # "auto"-mode work gate: when the planned epiband work per unit of
-        # exact-construction work exceeds this ratio, auto picks the exact
-        # path.  TNT-class scenes plan much wider per-view epipolar windows
-        # than DTU's rig; measured on one v5e chip (bench scenes): rectified
-        # wins at ratio <= 3.7 (DTU s1 0.28 vs 0.91 s/view, s2 27.8 vs
-        # 42.8) and loses at >= 4.7 (TNT nf15 8.1 vs 6.1 exact) — 4.2
-        # separates the regimes.  None disables the gate.
+        # optional "auto"-mode work gate: when the planned epiband work per
+        # unit of exact-construction work (ops/rectify.py:rect_cost_ratio,
+        # at FEATURE resolution) exceeds this ratio, auto picks the exact
+        # path.  Default off: per-shape measurements on one v5e chip
+        # (bench.py shape rows time BOTH constructions) show the rectified
+        # path winning or tying at every production shape that compiles —
+        # DTU s1 0.28 vs 0.91 s/view, s2 20.0 vs 25.3, TNT nf15 9.8 vs
+        # 10.4 (nf15 within the ~±1 s/view run-to-run relay variance) —
+        # so there is no regime boundary to gate on; the knob remains for
+        # scenes whose plans blow up (feature-res ratios run 0.06-0.13 at
+        # the bench scenes; a pathological plan would sit well above 1).
         self.rect_cost_ratio_max = rect_cost_ratio_max
         self._cache: Dict[tuple, object] = {}
         self._rect_models: Dict[object, object] = {}
