@@ -230,10 +230,19 @@ def main():
     print(json.dumps(result))
 
 
-def shape_bench(h, w, nf, construction, iters=1, compare_exact=True):
+def shape_bench(h, w, nf, construction, repeats=2, compare_exact=True):
     """Throughput at one (H, W, num_frames) inference shape, through the
     SAME InferenceRunner dispatch path production uses (plan gating, memory
     budget, mixed fallback).
+
+    Timed like the headline (round-3 VERDICT #1): images live on DEVICE in
+    bf16 (uploaded once — the runner passes bf16 jax arrays through), calls
+    are software-pipelined (dispatch i+1 before fetching i), and the timed
+    block repeats ``repeats`` times with an adaptive per-block iteration
+    count.  The row reports the min block average (the device-compute
+    number), the median, and the run-to-run spread — earlier iters=1
+    synchronous rows swung up to 3x on tunnel noise and re-uploaded
+    0.2-0.5 GB of images per call.
 
     When the measured path is rectified, also times the exact construction
     at the same shape (``compare_exact``): TNT-class plans carry much wider
@@ -254,6 +263,11 @@ def shape_bench(h, w, nf, construction, iters=1, compare_exact=True):
                   [0, 2892.0 * w / 1600, h / 2], [0, 0, 1]], np.float32)
     intr = np.tile(K, (n, 1, 1))
     poses = dtu_ring_poses(n, None)
+    # device-resident bf16 images, uploaded ONCE (production overlaps the
+    # per-view upload with compute via the driver's prep prefetcher; the
+    # row isolates device throughput)
+    images_dev = jnp.asarray(images.astype(jnp.bfloat16))
+    jax.block_until_ready(images_dev)
 
     model = RAFT(test_mode=True, hyp_chunk=8)
     params = jax.jit(model.init)(
@@ -262,41 +276,63 @@ def shape_bench(h, w, nf, construction, iters=1, compare_exact=True):
         jnp.ones((1,), jnp.float32))
 
     def measure(constr):
-        """(seconds/view, resolved path) — 'auto' may gate to exact."""
+        """(min s/view, median s/view, spread, resolved path)."""
         runner = InferenceRunner(params, construction=constr, hyp_chunk=8)
-        _ = runner(images, poses, intr, 1.0)  # compile + warmup
         t0 = time.perf_counter()
-        for _ in range(iters):
-            _ = runner(images, poses, intr, 1.0)
-        dt = (time.perf_counter() - t0) / iters
-        return dt, ("rectified" if runner._rect_models else "exact")
+        _ = runner(images_dev, poses, intr, 1.0)  # compile + warmup
+        warm = time.perf_counter() - t0
+        _ = runner(images_dev, poses, intr, 1.0)  # steady-state probe
+        dt1 = time.perf_counter() - t0 - warm
+        iters = max(2, min(4, int(20.0 / max(dt1, 0.5))))
+        block = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            pending = runner.submit(images_dev, poses, intr, 1.0)
+            for _ in range(iters - 1):
+                nxt = runner.submit(images_dev, poses, intr, 1.0)
+                _ = runner.finalize(pending)
+                pending = nxt
+            _ = runner.finalize(pending)
+            block.append((time.perf_counter() - t0) / iters)
+        resolved = "rectified" if runner._rect_models else "exact"
+        spread = (max(block) - min(block)) / max(min(block), 1e-9)
+        return min(block), float(np.median(block)), spread, resolved
 
-    # compile + warmup; many-view rectified programs can exceed the dev
-    # relay's compile-request size cap (HTTP 413 at nf25) — fall back to
-    # the exact construction for the measurement rather than losing the row
     try:
-        dt, resolved = measure(construction)
+        dt, dt_med, spread, resolved = measure(construction)
     except Exception as e:
         if construction == "exact":
             raise
-        print(f"[shape_bench {h}x{w} nf{nf}] {type(e).__name__}; "
-              f"retrying with exact construction", file=sys.stderr)
-        dt, resolved = measure("exact")
+        print(f"[shape_bench {h}x{w} nf{nf}] {type(e).__name__}: "
+              f"{repr(e)[:200]}; retrying with exact construction",
+              file=sys.stderr)
+        dt, dt_med, spread, resolved = measure("exact")
     row = {"shape": f"{h}x{w} nf{nf}", "maps_per_sec": round(1.0 / dt, 4),
-           "seconds_per_view": round(dt, 3), "construction": resolved}
+           "seconds_per_view": round(dt, 3),
+           "seconds_per_view_median": round(dt_med, 3),
+           "spread_pct": round(100 * spread, 1), "construction": resolved}
     if compare_exact:
         # time the OTHER construction too (auto's work-ratio gate picks a
         # winner per shape; the row carries the evidence for that choice)
         other = "exact" if resolved == "rectified" else "rectified"
         try:
-            dt_o, _ = measure(other)
-            row[f"seconds_per_view_{other}"] = round(dt_o, 3)
-            if dt_o < dt:
-                row.update(maps_per_sec=round(1.0 / dt_o, 4),
-                           seconds_per_view=round(dt_o, 3),
-                           construction=other)
-                row[f"seconds_per_view_{resolved}"] = round(dt, 3)
-                del row[f"seconds_per_view_{other}"]
+            dt_o, dt_o_med, spread_o, resolved_o = measure(other)
+            if resolved_o == resolved:
+                # the forced-other runner fell back (plan rejected / memory
+                # budget / compile failure handled upstream): annotating,
+                # NOT labeling an exact-path time as rectified
+                row["compare_skipped"] = (f"requested {other}, resolved "
+                                          f"{resolved_o}")
+            else:
+                row[f"seconds_per_view_{resolved_o}"] = round(dt_o, 3)
+                if dt_o < dt:
+                    row.update(maps_per_sec=round(1.0 / dt_o, 4),
+                               seconds_per_view=round(dt_o, 3),
+                               seconds_per_view_median=round(dt_o_med, 3),
+                               spread_pct=round(100 * spread_o, 1),
+                               construction=resolved_o)
+                    row[f"seconds_per_view_{resolved}"] = round(dt, 3)
+                    del row[f"seconds_per_view_{resolved_o}"]
         except Exception as e:  # keep the primary measurement on any failure
             row["compare_error"] = repr(e)[:120]
     return row

@@ -28,29 +28,49 @@ from cermvs_tpu.io.pfm import write_pfm
 def _prefetched(iterable, fn, depth: int = 2):
     """Apply ``fn`` to items of ``iterable`` in one background thread,
     ``depth`` items ahead — host-side sample prep overlaps device compute
-    in the driver's software pipeline."""
+    in the driver's software pipeline.
+
+    Cancellation-safe: if the consumer abandons the generator early (break,
+    or an exception downstream closes it), the worker sees the stop event on
+    its next bounded put and exits instead of blocking forever on a full
+    queue (which would leak the thread plus ``depth`` prepped batches)."""
     import queue
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     end = object()
+    stop = threading.Event()
+
+    def put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in iterable:
-                q.put(fn(item))
+                if not put(fn(item)):
+                    return
         except BaseException as e:  # surface in the consumer
-            q.put(e)
-        q.put(end)
+            if not put(e):
+                return
+        put(end)
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is end:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is end:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
 
 
 class InferenceRunner:
@@ -310,11 +330,18 @@ class InferenceRunner:
         (the encoder computes in bf16 regardless; at production sizes the
         fp32 transfer is a measurable share of latency).
         """
+        import jax
         import jax.numpy as jnp
 
-        if np.asarray(images).dtype != jnp.bfloat16:
+        if not isinstance(images, (np.ndarray, jax.Array)):
+            # normalize list inputs ONCE so the dtype probe below does not
+            # materialize a throwaway copy and .astype later cannot fail
+            images = np.asarray(images)
+        if images.dtype != jnp.bfloat16:
             # callers may pre-convert to bf16 off the critical path (the
-            # driver's prep prefetcher does — ~73 ms/view at DTU scale 1)
+            # driver's prep prefetcher does — ~73 ms/view at DTU scale 1);
+            # device-resident jax.Array inputs pass through untouched (the
+            # bench's device-resident timing path)
             images = np.asarray(images, np.float32)
         poses = np.asarray(poses, np.float32)
         intrinsics = np.asarray(intrinsics, np.float32)
@@ -476,7 +503,14 @@ def inference(
             # the reference's do_report probes peak memory at the
             # cost-volume high-water mark (core/corr.py:98-99 ->
             # utils/memory.py:4-11); the device peak_bytes stat covers that
-            # mark since it tracks the whole forward's high water
+            # mark since it tracks the whole forward's high water.
+            # NOTE the reported time is PIPELINE-INCLUSIVE: the driver
+            # dispatches batch i before draining batch i-1 (rotate()), so
+            # this interval also covers the next batch's dispatch — and, on
+            # a shape change, its jit trace/compile.  It matches the
+            # reference's wall-clock-between-views semantics
+            # (inference.py:52-56), not pure device latency; bench.py's
+            # device-resident rows measure the latter.
             from cermvs_tpu.utils.memory import device_memory_stats
 
             peak = max((s["peak_bytes_in_use_mb"]

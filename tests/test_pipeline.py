@@ -162,3 +162,32 @@ def test_prefetched_order_and_errors():
     except ValueError:
         pass
     assert out == [0, 1, 2]
+
+
+def test_prefetched_early_exit_stops_worker():
+    """Abandoning the generator (break) releases the worker thread even when
+    the bounded queue is full — no leaked thread, no blocked put."""
+    import threading
+    import time
+
+    from cermvs_tpu.pipeline.inference import _prefetched
+
+    produced = []
+
+    def fn(x):
+        produced.append(x)
+        return x
+
+    gen = _prefetched(range(1000), fn, depth=2)
+    assert next(gen) == 0
+    gen.close()  # consumer walks away; worker must unblock and exit
+    deadline = time.time() + 5.0
+    while time.time() < deadline:
+        if len(produced) == (n_seen := len(produced)):
+            time.sleep(0.3)
+            if len(produced) == n_seen:
+                break
+    stalled = len(produced)
+    time.sleep(0.5)
+    assert len(produced) == stalled  # production stopped
+    assert stalled < 1000  # and stopped EARLY (bounded by queue depth)
