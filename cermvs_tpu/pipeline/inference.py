@@ -118,6 +118,7 @@ class InferenceRunner:
         self._cache: Dict[tuple, object] = {}
         self._rect_models: Dict[object, object] = {}
         self._warned_fallback = False
+        self._warned_batched_rect = False
         self._jax = jax
         # batched (view_batch > 1) rectified dispatch: plans of the B ref
         # views union per batch (exactly the training-path bucketing) and
@@ -359,6 +360,18 @@ class InferenceRunner:
         # picks the exact path for batches.
         if (self.construction == "rectified"
                 and images.shape[0] > 1 and self.mesh is None):
+            if not self._warned_batched_rect:
+                import warnings
+
+                warnings.warn(
+                    "construction='rectified' with view_batch>1 measured "
+                    "slower than batched exact (vb=4 at 384x512 nf6: 2.14 "
+                    "vs 4.30 maps/s — the rectified builder's per-sample "
+                    "loop doesn't batch and plan unions widen every view's "
+                    "kernel windows; benchmarks/profile_viewbatch_rect.py). "
+                    "Use construction='auto' (picks exact for batches) or "
+                    "view_batch=1.")
+                self._warned_batched_rect = True
             model, key, images, poses, intrinsics = self._rect_model_batched(
                 images, poses, intrinsics, scales)
         elif (self.construction in ("rectified", "auto")
@@ -407,10 +420,12 @@ class InferenceRunner:
         # per-shard block must hold the rect ghost margin
         if H % (8 * n_sh) != 0 or h // n_sh < GHOST_RECT:
             if not self._warned_fallback:
-                print(f"[inference] row-mesh rectified bands unavailable "
-                      f"(H={H} needs H%{8 * n_sh}==0 and >= {GHOST_RECT} "
-                      f"feature rows/shard); using the exact row-sharded "
-                      f"path")
+                import warnings
+
+                warnings.warn(
+                    f"row-mesh rectified bands unavailable (H={H} needs "
+                    f"H%{8 * n_sh}==0 and >= {GHOST_RECT} feature "
+                    f"rows/shard); using the exact row-sharded path")
                 self._warned_fallback = True
             return None, None
         plan = self._plan_for(poses[0], intrinsics[0], scales[0], (H, W),

@@ -141,6 +141,95 @@ def test_inference_view_batched(tmp_path):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
 
 
+class WideBaselineScene(Dataset):
+    """Pathological epipolar geometry: a tiny image with a HUGE lateral
+    baseline relative to depth — the planner accepts (no forward motion, no
+    grid blow-up past ``max_width_factor``) but the disparity band ``s_max``
+    dwarfs the image, so the planned epiband work exceeds the exact
+    construction's (``rect_cost_ratio`` > 1)."""
+
+    def __init__(self, H=64, W=64):
+        self.H, self.W = H, W
+        self.num_frames = 2
+        self.K = np.array([[800.0, 0, W / 2], [0, 800.0, H / 2], [0, 0, 1]],
+                          np.float32)
+        self.poses = []
+        for tx in (0.0, -600.0, 600.0):
+            E = np.eye(4, dtype=np.float32)
+            E[0, 3] = tx
+            self.poses.append(E)
+        rng = np.random.RandomState(0)
+        self.tex = (rng.rand(H, W, 3) * 255).astype(np.float32)
+
+    def sample(self):
+        images = np.stack([self.tex] * 3)
+        poses = np.stack(self.poses)
+        intr = np.stack([self.K] * 3)
+        return images, poses, intr
+
+
+def test_auto_gate_trips_on_pathological_plan():
+    """The auto-mode work gate (rect_cost_ratio_max): a scene whose planned
+    epiband work exceeds the exact construction's (ratio > 1) must resolve
+    to the exact path when the gate is set — and to rectified when the gate
+    is off (the default), proving the gate is live, not dead code."""
+    from cermvs_tpu.ops.rectify import plan_rectification, rect_cost_ratio
+    from cermvs_tpu.pipeline.inference import InferenceRunner
+
+    scene = WideBaselineScene()
+    images, poses, intr = scene.sample()
+    h, w = scene.H // 4, scene.W // 4
+    intr_feat = intr.astype(np.float64).copy()
+    intr_feat[..., :2, :] /= 4
+    plan = plan_rectification(poses.astype(np.float64), intr_feat, h, w)
+    assert plan.ok, plan.reason
+    ratio = rect_cost_ratio(plan, h, w, poses.shape[0] - 1)
+    assert ratio > 1.0, ratio  # pathological: rectified work exceeds exact
+
+    model = RAFT(test_mode=True, cascade=((4, 64, 1),), hyp_chunk=4,
+                 dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(images)[None],
+                        jnp.asarray(poses)[None], jnp.asarray(intr)[None],
+                        jnp.ones(1))
+    kw = dict(cascade=((4, 64, 1),), hyp_chunk=4, dtype=jnp.float32)
+
+    gated = InferenceRunner(params, construction="auto",
+                            rect_cost_ratio_max=1.0, **kw)
+    gplan = gated._plan_for(poses, intr, 1.0, (scene.H, scene.W))
+    assert not gplan.ok and "work ratio" in gplan.reason
+
+    _ = gated(images, poses, intr, 1.0)
+    assert not gated._rect_models  # resolved to the exact path
+
+    ungated = InferenceRunner(params, construction="auto", **kw)
+    _ = ungated(images, poses, intr, 1.0)
+    assert ungated._rect_models  # default-off gate: rectified runs
+
+
+def test_batched_rectified_warns():
+    """Explicit construction='rectified' with a view batch is the measured-
+    slower combination (benchmarks/profile_viewbatch_rect.py) — the runner
+    must say so instead of silently running it."""
+    from cermvs_tpu.pipeline.inference import InferenceRunner
+
+    scene = PlaneScene(n=4, H=32, W=32, num_frames=2)
+    model = RAFT(test_mode=True, cascade=((4, 64, 1),), hyp_chunk=4,
+                 dtype=jnp.float32)
+    sample = scene[0]
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(sample[0])[None],
+                        jnp.asarray(sample[1])[None],
+                        jnp.asarray(sample[2])[None], jnp.ones(1))
+    runner = InferenceRunner(params, construction="rectified",
+                             cascade=((4, 64, 1),), hyp_chunk=4,
+                             dtype=jnp.float32)
+    a, b = scene[0], scene[1]
+    with pytest.warns(UserWarning, match="measured slower"):
+        out = runner.submit_batch(np.stack([a[0], b[0]]),
+                                  np.stack([a[1], b[1]]),
+                                  np.stack([a[2], b[2]]), [1.0, 1.0])
+    assert np.isfinite(runner.finalize_batch(out)).all()
+
+
 def test_prefetched_order_and_errors():
     """_prefetched preserves order, applies fn in the worker, and re-raises
     the producer's exception in the consumer."""
