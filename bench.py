@@ -294,7 +294,7 @@ def shape_bench(h, w, nf, construction, repeats=2, compare_exact=True):
                 pending = nxt
             _ = runner.finalize(pending)
             block.append((time.perf_counter() - t0) / iters)
-        resolved = "rectified" if runner._rect_models else "exact"
+        resolved = runner._last_path  # "exact" | "rectified" | "mixed"
         spread = (max(block) - min(block)) / max(min(block), 1e-9)
         return min(block), float(np.median(block)), spread, resolved
 
@@ -314,7 +314,7 @@ def shape_bench(h, w, nf, construction, repeats=2, compare_exact=True):
     if compare_exact:
         # time the OTHER construction too (auto's work-ratio gate picks a
         # winner per shape; the row carries the evidence for that choice)
-        other = "exact" if resolved == "rectified" else "rectified"
+        other = "exact" if resolved in ("rectified", "mixed") else "rectified"
         try:
             dt_o, dt_o_med, spread_o, resolved_o = measure(other)
             if resolved_o == resolved:

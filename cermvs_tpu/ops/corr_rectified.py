@@ -52,6 +52,162 @@ def _resample_rows_oracle(fr_rect, fs_rect, base, sigma, n_hyp, s_max):
     return interp1d(G, idx)
 
 
+def group_views(plan: RectPlan, n_views: int, max_groups: int = 4,
+                n_hyp=None, incre=None, n_channels: int = 64, cap=None):
+    """Partition the views into few static-window groups.
+
+    The unrolled builder emits one warp+kernel instance per view; at many
+    views (TNT nf25, ``/root/reference/demo.py:49``) the HLO program grows
+    past compile-service request limits and compile time balloons.  Views
+    in one group share a single compiled instance driven by ``lax.scan``
+    (:func:`build_corr_volume_rectified` with ``view_scan``), using the
+    UNION of the group's snapped windows — a sound over-approximation, the
+    same rule :func:`cermvs_tpu.ops.rectify.plan_union` applies across
+    batches.  Groups merge in ascending-``s_max`` order, minimizing the
+    extra band sweep (the dominant widening cost: kernel work per row is
+    ~``w_r + s_max``).
+
+    With ``n_hyp``/``incre`` given, merges are additionally gated by the
+    epiband kernel's VMEM budget
+    (:func:`cermvs_tpu.ops.pallas.epiband.kernel_vmem_bytes`): merging
+    views widens the static rate window, and the kernel's per-hypothesis
+    slice expansion grows ~``D^2 * Delta-sigma / 2`` — a 4.6x-span TNT
+    group crashed the Mosaic compile at ~11 MB.  ``max_groups`` is then a
+    target, not a guarantee: when no legal merge remains the list stays
+    longer (still O(groups) program size vs O(V)).
+
+    Returns a list of ``(rate_lo, rate_hi, s_max, view_indices)``.
+    """
+    from cermvs_tpu.ops.pallas.epiband import EPIBAND_VMEM_CAP, \
+        kernel_vmem_bytes
+
+    cap = cap or EPIBAND_VMEM_CAP
+    budget_gated = n_hyp is not None and incre is not None
+
+    def vmem(lo, hi, s):
+        ws = plan.w_r + s + plan.s_neg
+        return kernel_vmem_bytes(n_hyp, max(lo * incre, 0.0), hi * incre,
+                                 ws, n_channels)
+
+    params = [plan.view_params(v) for v in range(n_views)]
+    order = sorted(range(n_views), key=lambda v: (params[v][2], params[v][1],
+                                                  params[v][0], v))
+    groups = []  # [[(lo, hi, s), [views]], ...] ascending s
+    for v in order:
+        key = params[v]
+        if groups and groups[-1][0] == key:
+            groups[-1][1].append(v)
+        else:
+            groups.append([key, [v]])
+    while len(groups) > max_groups:
+        costs = []
+        for i in range(len(groups) - 1):
+            (l1, h1, s1), v1 = groups[i]
+            (l2, h2, s2), v2 = groups[i + 1]
+            ml, mh, ms = min(l1, l2), max(h1, h2), max(s1, s2)
+            if budget_gated and vmem(ml, mh, ms) > cap:
+                continue
+            costs.append((len(v1) * (ms - s1) + len(v2) * (ms - s2), i))
+        if not costs:
+            break  # no merge fits the kernel budget
+        _, i = min(costs)
+        (l1, h1, s1), v1 = groups[i]
+        (l2, h2, s2), v2 = groups[i + 1]
+        groups[i: i + 2] = [[(min(l1, l2), max(h1, h2), max(s1, s2)),
+                             v1 + v2]]
+    return [(lo, hi, s, tuple(vs)) for (lo, hi, s), vs in groups]
+
+
+def affordable_rect_views(plan: RectPlan, n_views: int, n_hyp, incre,
+                          n_channels: int = 64, cap=None):
+    """Neighbor positions whose PER-VIEW epiband kernel fits the VMEM cap.
+
+    Far TNT views reach sigma ~17 px/hypothesis, where even the un-merged
+    window expansion exceeds what the Mosaic compiler accepts; those views
+    must take the exact gather path (the MIXED construction,
+    :func:`make_mixed_volume_fn`) — the round-3 VERDICT's prescribed cap.
+    """
+    from cermvs_tpu.ops.pallas.epiband import EPIBAND_VMEM_CAP, \
+        kernel_vmem_bytes
+
+    cap = cap or EPIBAND_VMEM_CAP
+    ok = []
+    for v in range(n_views):
+        lo, hi, s = plan.view_params(v)
+        ws = plan.w_r + s + plan.s_neg
+        if kernel_vmem_bytes(n_hyp, max(lo * incre, 0.0), hi * incre, ws,
+                             n_channels) <= cap:
+            ok.append(v)
+    return tuple(ok)
+
+
+def _take_static(a, idx):
+    """Static reindex WITHOUT a gather: ``jnp.take`` feeding a ``lax.scan``
+    unstacking miscompiles on the tunneled TPU backend (round-4 debugging:
+    the first scanned element read corrupted values, 0.18 max abs on
+    bf16 features; static slices + stack are bit-clean).  ``idx`` is a
+    concrete tuple, so slicing costs nothing extra."""
+    idx = list(idx)
+    if idx == list(range(idx[0], idx[0] + len(idx))):
+        return a[idx[0]: idx[0] + len(idx)]
+    return jnp.stack([a[i] for i in idx], axis=0)
+
+
+def rect_features_grouped(fmaps, poses, intrinsics, ii, jj, plan,
+                          feature_dtype, groups):
+    """Grouped variant of :func:`rect_features`: per group, the (ref, src)
+    feature warps run under ``lax.map`` over the group's views — one traced
+    warp instance per group instead of per view.  Returns
+    ``(geo, [(fr_stack, fs_stack), ...])`` with stacks leading in the
+    group's view order."""
+    B, N, h, w, C = fmaps.shape
+    geo = rectify.rect_geometry(poses, intrinsics, ii, jj, h, w, plan,
+                                need_grids=not plan.twopass)
+
+    f = fmaps.astype(jnp.float32) / 8.0  # core/corr.py:30-31 scaling
+    f_ref = f[0, 0].astype(feature_dtype)
+    f_src = jnp.take(f[0], jj, axis=0).astype(feature_dtype)  # (V, h, w, C)
+
+    warped = []
+    for lo, hi, s_g, idx in groups:
+        col0 = plan.s_max - s_g  # src band: columns [col0, ws_r)
+        fs_in = _take_static(f_src, idx)
+        if plan.twopass:
+            shift = jnp.asarray(
+                [[1.0, 0.0, float(col0)], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]],
+                jnp.float32)
+            H_ref = _take_static(geo["H_ref_inv"], idx)
+            H_src = _take_static(geo["H_src_inv"], idx) @ shift
+
+            def body(args, _col0=col0):
+                fsv, Hr, Hs = args
+                fr = rectify.warp_image_twopass(
+                    f_ref, Hr, plan.h_r, plan.w_r).astype(feature_dtype)
+                fs = rectify.warp_image_twopass(
+                    fsv, Hs, plan.h_r,
+                    plan.ws_r - _col0).astype(feature_dtype)
+                return fr, fs
+
+            fr_g, fs_g = jax.lax.map(body, (fs_in, H_ref, H_src))
+        else:
+            rrx, rry = geo["ref_ref_xy"]
+            rsx, rsy = geo["ref_src_xy"]
+
+            def body(args):
+                fsv, rx, ry, sx, sy = args
+                fr = rectify.warp_image(f_ref, rx, ry).astype(feature_dtype)
+                fs = rectify.warp_image(fsv, sx, sy).astype(feature_dtype)
+                return fr, fs
+
+            fr_g, fs_g = jax.lax.map(
+                body, (fs_in, _take_static(rrx, idx),
+                       _take_static(rry, idx),
+                       _take_static(rsx, idx)[:, :, col0:],
+                       _take_static(rsy, idx)[:, :, col0:]))
+        warped.append((fr_g, fs_g))
+    return geo, warped
+
+
 def rect_features(fmaps, poses, intrinsics, ii, jj, plan, feature_dtype):
     """Pose-dependent, stage-INDEPENDENT rectification work: the rect
     geometry and the per-view warped (ref, src) feature rows.
@@ -102,6 +258,74 @@ def rect_features(fmaps, poses, intrinsics, ii, jj, plan, feature_dtype):
     return geo, warped
 
 
+def _build_grouped(rect_ctx, groups, origin, n_hyp, incre, plan, h, w, V,
+                   mean_over_views, feature_dtype, impl, zero_slab):
+    """View-scanned construction: per window group, ONE traced
+    epiband+back-warp instance driven by ``lax.scan`` over the group's
+    views.  Program size is O(#groups) instead of O(V) — the 25-view TNT
+    programs that unrolled past the compile-service request cap now emit
+    <= ``max_groups`` instances (round-3 VERDICT #2).  The mean accumulates
+    in the scan carry, so peak memory matches the unrolled builder's."""
+    geo, warped = rect_ctx
+    org = origin[0, 0][..., None]  # (h, w, 1)
+    rrx, rry = geo["ref_ref_xy"]
+    fw = geo["fwd_xy"] if geo["fwd_xy"] is not None else None
+
+    acc = jnp.zeros((h, w, n_hyp), jnp.float32)
+    parts = [None] * V
+    for (lo, hi, s_g, idx), (fr_g, fs_g) in zip(groups, warped):
+        xs = {"fr": fr_g, "fs": fs_g,
+              "rate": _take_static(geo["rate"], idx)}
+        if not zero_slab:
+            xs["rx"] = _take_static(rrx, idx)
+            xs["ry"] = _take_static(rry, idx)
+        if plan.twopass:
+            xs["H_fwd"] = _take_static(geo["H_fwd"], idx)
+        else:
+            xs["fx"] = _take_static(fw[0], idx)
+            xs["fy"] = _take_static(fw[1], idx)
+
+        def body(carry, x, _lo=lo, _hi=hi, _s=s_g):
+            if zero_slab:
+                base = jnp.zeros((plan.h_r, plan.w_r), jnp.float32)
+            else:
+                origin_rect = rectify.warp_image(
+                    org, x["rx"], x["ry"], mode="clamp")[..., 0]
+                base = x["rate"] * (origin_rect - (n_hyp // 2) * incre)
+            sigma = x["rate"] * incre
+            if impl == "pallas":
+                from cermvs_tpu.ops.pallas.epiband import epiband_resample
+
+                vol_rect = epiband_resample(
+                    x["fr"][None], x["fs"][None], base[None], sigma[None],
+                    n_hyp, _s,
+                    sigma_lo=max(_lo * incre, 0.0),
+                    sigma_hi=_hi * incre if _hi > 0 else None,
+                    static_base=zero_slab)[0]
+            else:
+                vol_rect = _resample_rows_oracle(
+                    x["fr"], x["fs"], base, sigma, n_hyp, _s)
+            if plan.twopass:
+                out = rectify.warp_image_twopass(
+                    vol_rect.astype(feature_dtype), x["H_fwd"], h, w)
+            else:
+                out = rectify.warp_image(
+                    vol_rect.astype(feature_dtype), x["fx"], x["fy"])
+            if mean_over_views:
+                return carry + out, None
+            return carry, out
+
+        if mean_over_views:
+            acc, _ = jax.lax.scan(body, acc, xs)
+        else:
+            _, outs = jax.lax.scan(body, acc, xs)
+            for k, v in enumerate(idx):
+                parts[v] = outs[k]
+    if mean_over_views:
+        return (acc / V)[None, None]
+    return jnp.stack(parts)[None]
+
+
 def build_corr_volume_rectified(
     fmaps: jnp.ndarray,
     poses: jnp.ndarray,
@@ -117,6 +341,8 @@ def build_corr_volume_rectified(
     impl: str = "pallas",
     zero_slab: bool = False,
     rect_ctx=None,
+    view_scan: bool = False,
+    groups=None,
 ) -> jnp.ndarray:
     """Drop-in construction (signature parity with ``corr.build_corr_volume``
     modulo the static ``plan``/``impl``): returns (1, 1, h, w, D) when
@@ -133,6 +359,17 @@ def build_corr_volume_rectified(
     V = int(jj.shape[0])
     feature_dtype = gather_dtype or fmaps.dtype
     assert B == 1, "rectified construction supports batch size 1"
+    if view_scan:
+        if groups is None:
+            groups = group_views(plan, V, n_hyp=n_hyp, incre=incre,
+                                 n_channels=C)
+        if rect_ctx is None:
+            rect_ctx = rect_features_grouped(
+                fmaps, poses, intrinsics, ii, jj, plan, feature_dtype,
+                groups)
+        return _build_grouped(
+            rect_ctx, groups, origin, n_hyp, incre, plan, h, w, V,
+            mean_over_views, feature_dtype, impl, zero_slab)
     if rect_ctx is None:
         rect_ctx = rect_features(
             fmaps, poses, intrinsics, ii, jj, plan, feature_dtype)
@@ -189,7 +426,7 @@ def build_corr_volume_rectified(
 def build_corr_volume_rectified_batched(
     fmaps, poses, intrinsics, ii, jj, origin, n_hyp, incre, plan,
     mean_over_views=False, gather_dtype=None, impl="pallas",
-    zero_slab=False, rect_ctxs=None,
+    zero_slab=False, rect_ctxs=None, view_scan=False, groups=None,
 ):
     """Batch-B wrapper over the B==1 builder (training batches).
 
@@ -206,11 +443,20 @@ def build_corr_volume_rectified_batched(
             origin[b:b + 1], n_hyp, incre, plan,
             mean_over_views=mean_over_views, gather_dtype=gather_dtype,
             impl=impl, zero_slab=zero_slab,
-            rect_ctx=rect_ctxs[b] if rect_ctxs else None))
+            rect_ctx=rect_ctxs[b] if rect_ctxs else None,
+            view_scan=view_scan, groups=groups))
     return jnp.concatenate(vols, axis=0)
 
 
-def make_rectified_volume_fn(plan: RectPlan, impl: str = "pallas"):
+# "auto" view_scan threshold: below this many views the unrolled builder
+# compiles fine and lets XLA schedule views independently; at/above it the
+# grouped scan bounds program size (each unrolled view adds ~5 warp/kernel
+# instances per stage; nf15 compiled, nf25 exceeded the compile-request cap)
+VIEW_SCAN_AUTO_MIN = 12
+
+
+def make_rectified_volume_fn(plan: RectPlan, impl: str = "pallas",
+                             view_scan="auto", max_view_groups: int = 4):
     """Closure matching ``corr.build_corr_volume``'s signature, for
     ``RAFT(volume_fn=...)`` / ``build_corr_pyramid(volume_fn=...)``.
 
@@ -218,18 +464,23 @@ def make_rectified_volume_fn(plan: RectPlan, impl: str = "pallas"):
     dependent values stay traced, so one compiled graph serves every scene
     bucketing to the same plan.
 
-    The closure shares :func:`rect_features` across cascade stages with a
-    one-entry cache keyed by the IDENTITY of the input arrays: within one
-    trace the model passes the same ``fmaps``/``poses`` objects to every
-    stage, so the second stage reuses the first's traced warp subgraph
-    (strong refs keep the keyed objects alive, so ids cannot be recycled;
-    a new trace passes fresh tracers and misses).
+    ``view_scan``: True/False forces the grouped ``lax.scan`` construction
+    (:func:`group_views` windows, program size O(groups)); "auto" (default)
+    enables it from ``VIEW_SCAN_AUTO_MIN`` views — many-view programs (TNT
+    nf25) otherwise unroll past compile-service request limits.
+
+    The closure shares the warped-feature context across cascade stages
+    with a one-entry cache keyed by the IDENTITY of the input arrays:
+    within one trace the model passes the same ``fmaps``/``poses`` objects
+    to every stage, so the second stage reuses the first's traced warp
+    subgraph (strong refs keep the keyed objects alive, so ids cannot be
+    recycled; a new trace passes fresh tracers and misses).
 
     Batches (B > 1, training): the plan must be a
     :func:`cermvs_tpu.ops.rectify.plan_union` over the samples; the builder
     loops samples with the shared per-sample contexts.
     """
-    cache = {"key": None, "refs": None, "ctxs": None}
+    cache = {"key": None, "refs": None, "ctxs": None, "groups": None}
 
     def volume_fn(fmaps, poses, intrinsics, ii, jj, origin, n_hyp, incre,
                   hyp_chunk=16, mean_over_views=False, gather_dtype=None,
@@ -237,30 +488,47 @@ def make_rectified_volume_fn(plan: RectPlan, impl: str = "pallas"):
         del hyp_chunk  # memory is governed by the kernel's own tiling
         feature_dtype = gather_dtype or fmaps.dtype
         B = fmaps.shape[0]
+        V = int(jj.shape[0])
+        scan = (view_scan if isinstance(view_scan, bool)
+                else V >= VIEW_SCAN_AUTO_MIN)
         key = (id(fmaps), id(poses), id(intrinsics), id(ii), id(jj),
-               jnp.dtype(feature_dtype).name)
+               jnp.dtype(feature_dtype).name, scan)
         if cache["key"] != key:
+            # groups are computed ONCE per trace from the FIRST stage's
+            # (n_hyp, incre) — the widest windows (stage 0's sigma is 5x
+            # stage 1's), so its budget-gated merges stay sound for later
+            # stages, and both stages share one warped-feature ctx
+            groups = (group_views(plan, V, max_view_groups, n_hyp=n_hyp,
+                                  incre=incre,
+                                  n_channels=int(fmaps.shape[-1]))
+                      if scan else None)
+            mk = (rect_features_grouped if scan else rect_features)
+            extra = (groups,) if scan else ()
             cache["ctxs"] = [
-                rect_features(fmaps[b:b + 1], poses[b:b + 1],
-                              intrinsics[b:b + 1], ii, jj, plan,
-                              feature_dtype)
+                mk(fmaps[b:b + 1], poses[b:b + 1], intrinsics[b:b + 1],
+                   ii, jj, plan, feature_dtype, *extra)
                 for b in range(B)]
             cache["refs"] = (fmaps, poses, intrinsics, ii, jj)
+            cache["groups"] = groups
             cache["key"] = key
+        groups = cache["groups"]
         if B == 1:
             return build_corr_volume_rectified(
                 fmaps, poses, intrinsics, ii, jj, origin, n_hyp, incre, plan,
                 mean_over_views=mean_over_views, gather_dtype=gather_dtype,
-                impl=impl, zero_slab=zero_slab, rect_ctx=cache["ctxs"][0])
+                impl=impl, zero_slab=zero_slab, rect_ctx=cache["ctxs"][0],
+                view_scan=scan, groups=groups)
         return build_corr_volume_rectified_batched(
             fmaps, poses, intrinsics, ii, jj, origin, n_hyp, incre, plan,
             mean_over_views=mean_over_views, gather_dtype=gather_dtype,
-            impl=impl, zero_slab=zero_slab, rect_ctxs=cache["ctxs"])
+            impl=impl, zero_slab=zero_slab, rect_ctxs=cache["ctxs"],
+            view_scan=scan, groups=groups)
 
     return volume_fn
 
 
-def make_mixed_volume_fn(plan: RectPlan, rect_views, impl: str = "pallas"):
+def make_mixed_volume_fn(plan: RectPlan, rect_views, impl: str = "pallas",
+                         view_scan="auto"):
     """Mixed construction: rectified (epiband) volume slices for the views
     in ``rect_views``, exact gather slices for the rest, combined in the
     caller's aggregation layout.
@@ -276,7 +544,7 @@ def make_mixed_volume_fn(plan: RectPlan, rect_views, impl: str = "pallas"):
     import numpy as np
 
     rect_views = tuple(rect_views)
-    rect_fn = make_rectified_volume_fn(plan, impl)
+    rect_fn = make_rectified_volume_fn(plan, impl, view_scan=view_scan)
 
     def volume_fn(fmaps, poses, intrinsics, ii, jj, origin, n_hyp, incre,
                   hyp_chunk=16, mean_over_views=False, gather_dtype=None,

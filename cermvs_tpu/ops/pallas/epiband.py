@@ -236,6 +236,39 @@ def _window_and_slices(D, sigma_lo, sigma_hi):
     return M, slices
 
 
+def kernel_vmem_bytes(n_hyp, sigma_lo, sigma_hi, ws, C, fp32=False,
+                      xc=XC):
+    """Predicted VMEM residency of one epiband kernel instance.
+
+    The window-dependent terms dominate and scale with ``total`` — the
+    summed per-hypothesis slice widths, which grow ~``D^2 *
+    (sigma_hi - sigma_lo) / 2``: wide static rate windows (merged view
+    groups, or single far TNT views at sigma ~17 px/hypothesis) blow the
+    ``sm``/``ones`` expansion matrices past VMEM and crash the Mosaic
+    compile (round-4: 10.8 MB at a 4.6x-span group -> HTTP 500).  Callers
+    (``corr_rectified.group_views`` and the inference runner's
+    affordability gate) keep instances under ``EPIBAND_VMEM_CAP``.
+    """
+    M, slices = _window_and_slices(n_hyp, sigma_lo, sigma_hi)
+    M = min(M, ws)
+    total = sum(min(u1, M) - min(u0, M - 1) for u0, u1 in slices)
+    Mp = -(-M // 128) * 128
+    Dp = -(-n_hyp // 64) * 64
+    b = 4 if fp32 else 2
+    return (total * Dp * b          # ones segment matrix
+            + total * Mp * b        # sm scatter matrix (backward)
+            + 8 * total * 4         # kv lane maps
+            + xc * total * 4        # av_exp runtime expansion
+            + xc * ws * 4           # G correlation row block
+            + ws * C * 2)           # fs feature block
+
+
+# calibrated on the real toolchain (round-4 sweep, single-view kernels at
+# increasing windows): estimates up to 14.0 MB compiled, 14.9 MB crashed
+# the Mosaic compile (HTTP 500) — cap at the last known-good point
+EPIBAND_VMEM_CAP = 14 * 1024 * 1024
+
+
 def _setup(fr_rect, fs_rect, n_hyp, s_max, sigma_lo, sigma_hi, interpret,
            xc, static_base):
     """Static configuration shared by the forward and backward pallas calls."""

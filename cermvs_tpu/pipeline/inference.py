@@ -119,6 +119,7 @@ class InferenceRunner:
         self._rect_models: Dict[object, object] = {}
         self._warned_fallback = False
         self._warned_batched_rect = False
+        self._last_path = "exact"
         self._jax = jax
         # batched (view_batch > 1) rectified dispatch: plans of the B ref
         # views union per batch (exactly the training-path bucketing) and
@@ -153,8 +154,26 @@ class InferenceRunner:
                 plan = RectPlan(0, 0, 0, 0, False,
                                 f"rect features ~{rect_bytes / 1e9:.1f} GB "
                                 f"exceed budget")
-            elif (self.construction == "auto"
-                  and self.rect_cost_ratio_max is not None):
+            else:
+                # per-view epiband kernel affordability: far views' static
+                # rate windows can exceed the Mosaic VMEM budget (sigma
+                # ~17 px/hypothesis at TNT nf25) — such scenes route to
+                # the MIXED construction (_rect_model), rect for the
+                # affordable views and exact gathers for the rest
+                from cermvs_tpu.ops.corr_rectified import \
+                    affordable_rect_views
+
+                d0, n_div, _ = self.model.cascade[0]
+                if d0 == -1:
+                    d0 = 44
+                ok = affordable_rect_views(plan, V, d0, 0.0025 / n_div, C)
+                if len(ok) < V:
+                    plan = RectPlan(
+                        0, 0, 0, 0, False,
+                        f"epiband window exceeds kernel budget for views "
+                        f"{tuple(v for v in range(V) if v not in ok)}")
+            if (plan.ok and self.construction == "auto"
+                    and self.rect_cost_ratio_max is not None):
                 ratio = rect_cost_ratio(
                     plan, img_shape[0] // f, img_shape[1] // f, V,
                     d0=self.model.cascade[0][0])
@@ -201,6 +220,29 @@ class InferenceRunner:
             poses64, intr, img_shape[0] // f, img_shape[1] // f,
             lambda_max=self.rect_lambda_max)
         n_views = poses.shape[0] - 1
+        # drop views whose per-view epiband kernel exceeds the VMEM budget
+        # (far TNT views), re-planning the kept subset until stable — the
+        # exact gathers cover the dropped views (the mixed construction)
+        from cermvs_tpu.ops.corr_rectified import affordable_rect_views
+        from cermvs_tpu.ops.rectify import plan_rectification
+
+        d0, n_div, _ = self.model.cascade[0]
+        d0 = 44 if d0 == -1 else d0
+        for _ in range(3):
+            if not pplan.ok or not rect_views:
+                break
+            ok_pos = affordable_rect_views(
+                pplan, len(rect_views), d0, 0.0025 / n_div,
+                self.model.dim_fmap)
+            if len(ok_pos) == len(rect_views):
+                break
+            rect_views = tuple(rect_views[i] for i in ok_pos)
+            if not rect_views:
+                break
+            sub = [0] + [v + 1 for v in rect_views]
+            pplan = plan_rectification(
+                poses64[sub], intr[sub], img_shape[0] // f,
+                img_shape[1] // f, lambda_max=self.rect_lambda_max)
         if not pplan.ok or not rect_views or len(rect_views) == n_views:
             return None, None
         rect_bytes = (2 * len(rect_views) * pplan.h_r
@@ -348,6 +390,7 @@ class InferenceRunner:
         intrinsics = np.asarray(intrinsics, np.float32)
         model, key = None, None
         q0 = None
+        self._last_path = "exact"  # resolved construction of THIS dispatch
         # Under a mesh the plan is handed to view_sharded_forward
         # (scene-wide kernel windows) or, for a row mesh, to
         # row_sharded_forward with host-planned bands.  view_batch>1
@@ -394,6 +437,10 @@ class InferenceRunner:
                     poses[0], intrinsics[0], scales[0], images[0].shape[1:3],
                     mem_shards=int(self.mesh.shape.get("view", 1)))
                 key = plan if plan.ok else None
+        if key is not None:
+            self._last_path = ("mixed" if isinstance(key, tuple)
+                               and len(key) == 2 and isinstance(key[1], tuple)
+                               else "rectified")
         im = jnp.asarray(images.astype(jnp.bfloat16, copy=False))
         po = jnp.asarray(poses)
         k = jnp.asarray(intrinsics)

@@ -204,6 +204,119 @@ def test_general_poses_smooth_features():
     assert smooth < 0.25 * rough, (smooth, rough)
 
 
+def many_view_scene(h=8, w=24, n=7):
+    """Cameras on an arc with a ~4x baseline spread: per-view snapped
+    windows differ, so :func:`group_views` has real work to do."""
+    K = np.array([[20.0, 0, 12.0], [0, 20.0, 4.0], [0, 0, 1]], np.float64)
+    eyes = [(0.0, 0.0, -10.0)]
+    for i in range(1, n):
+        s = 1 if i % 2 else -1
+        eyes.append((s * 0.55 * i, 0.12 * s * (i % 3), -10.0 + 0.08 * i))
+    poses = np.stack([lookat_pose(e, (0.1, -0.1, 0.0)) for e in eyes])
+    intr = np.tile(K, (n, 1, 1))
+    return poses[None].astype(np.float32), intr[None].astype(np.float32), h, w
+
+
+class TestViewScan:
+    """Grouped lax.scan construction (program size O(groups), the nf25
+    compile-cap fix) must match the unrolled builder."""
+
+    def test_group_views_partitions_and_covers(self):
+        poses, intr, h, w = many_view_scene()
+        plan = rectify.plan_rectification(poses, intr, h, w, lambda_max=0.16)
+        assert plan.ok, plan.reason
+        from cermvs_tpu.ops.corr_rectified import group_views
+
+        V = poses.shape[1] - 1
+        for mg in (1, 2, 4, 16):
+            groups = group_views(plan, V, max_groups=mg)
+            assert len(groups) <= mg
+            seen = sorted(v for *_, idx in groups for v in idx)
+            assert seen == list(range(V))
+            for lo, hi, s, idx in groups:
+                for v in idx:
+                    vlo, vhi, vs = plan.view_params(v)
+                    assert lo <= vlo and hi >= vhi and s >= vs
+
+    @pytest.mark.parametrize("mean", [True, False])
+    def test_matches_unrolled_general_scene(self, mean):
+        poses, intr, h, w = many_view_scene()
+        N = poses.shape[1]
+        ii, jj = _pairs(N)
+        rng = np.random.RandomState(3)
+        C, D, incre = 8, 8, 0.01
+        fmaps = jnp.asarray(rng.randn(1, N, h, w, C).astype(np.float32))
+        origin = jnp.full((1, 1, h, w), 0.095, jnp.float32)
+        plan = rectify.plan_rectification(poses, intr, h, w, lambda_max=0.16)
+        assert plan.ok, plan.reason
+        kw = dict(mean_over_views=mean)
+        ref = np.asarray(build_corr_volume_rectified(
+            fmaps, jnp.asarray(poses), jnp.asarray(intr), ii, jj, origin,
+            D, incre, plan, **kw))
+        for mg in (2, 4):
+            got = np.asarray(build_corr_volume_rectified(
+                fmaps, jnp.asarray(poses), jnp.asarray(intr), ii, jj,
+                origin, D, incre, plan, view_scan=True,
+                groups=__import__(
+                    "cermvs_tpu.ops.corr_rectified",
+                    fromlist=["group_views"]).group_views(
+                        plan, N - 1, max_groups=mg), **kw))
+            # same kernels and math; only the fp32 accumulation order and
+            # the (sound) widened group windows differ
+            np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+    def test_lateral_exactness_through_scan(self):
+        """Pure lateral motion stays EXACT through the grouped path."""
+        poses, intr, h, w = lateral_scene()
+        N = poses.shape[1]
+        ii, jj = _pairs(N)
+        rng = np.random.RandomState(0)
+        C, D, incre = 16, 8, 0.01
+        fmaps = jnp.asarray(rng.randn(1, N, h, w, C).astype(np.float32))
+        origin = jnp.full((1, 1, h, w), 0.095, jnp.float32)
+        plan = rectify.plan_rectification(poses, intr, h, w, lambda_max=0.16)
+        vol_exact = corr_ops.build_corr_volume(
+            fmaps, jnp.asarray(poses), jnp.asarray(intr), ii, jj, origin,
+            D, incre, mean_over_views=True)
+        vol_scan = build_corr_volume_rectified(
+            fmaps, jnp.asarray(poses), jnp.asarray(intr), ii, jj, origin,
+            D, incre, plan, mean_over_views=True, view_scan=True)
+        np.testing.assert_allclose(np.asarray(vol_scan),
+                                   np.asarray(vol_exact),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_volume_fn_auto_threshold(self):
+        """make_rectified_volume_fn('auto') switches to the scan at
+        VIEW_SCAN_AUTO_MIN views and matches the unrolled closure."""
+        from cermvs_tpu.ops import corr_rectified as cr
+
+        poses, intr, h, w = many_view_scene()
+        N = poses.shape[1]
+        ii, jj = _pairs(N)
+        rng = np.random.RandomState(5)
+        C, D, incre = 8, 8, 0.01
+        fmaps = jnp.asarray(rng.randn(1, N, h, w, C).astype(np.float32))
+        origin = jnp.full((1, 1, h, w), 0.095, jnp.float32)
+        plan = rectify.plan_rectification(poses, intr, h, w, lambda_max=0.16)
+        args = (fmaps, jnp.asarray(poses), jnp.asarray(intr), ii, jj,
+                origin, D, incre)
+        unrolled = np.asarray(
+            cr.make_rectified_volume_fn(plan, view_scan=False)(
+                *args, mean_over_views=True))
+        forced = np.asarray(
+            cr.make_rectified_volume_fn(plan, view_scan=True)(
+                *args, mean_over_views=True))
+        np.testing.assert_allclose(forced, unrolled, rtol=2e-4, atol=2e-4)
+        old = cr.VIEW_SCAN_AUTO_MIN
+        try:
+            cr.VIEW_SCAN_AUTO_MIN = N - 1  # auto trips at this view count
+            auto = np.asarray(cr.make_rectified_volume_fn(plan)(
+                *args, mean_over_views=True))
+        finally:
+            cr.VIEW_SCAN_AUTO_MIN = old
+        np.testing.assert_allclose(auto, forced, rtol=1e-6, atol=1e-6)
+
+
 def test_planner_rejects_forward_motion():
     K = np.array([[20.0, 0, 12.0], [0, 20.0, 4.0], [0, 0, 1]], np.float32)
     poses = np.stack([np.eye(4, dtype=np.float32) for _ in range(2)])
