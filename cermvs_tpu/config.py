@@ -194,13 +194,14 @@ def parse_config_files_and_bindings(config_files, bindings, skip_unknown=True):
 def add_cli_flags(parser):
     """Attach the reference's ``-g`` / ``-p`` flags to an argparse parser."""
     parser.add_argument(
-        "-g", "--gin_config", nargs="+", default=[],
+        "-g", "--gin_config", nargs="+", default=[], action="extend",
         help="Set of config files (separated by spaces), exclude .gin from path",
     )
     parser.add_argument(
-        "-p", "--gin_param", nargs="+", default=[],
+        "-p", "--gin_param", nargs="+", default=[], action="extend",
         help="Parameter settings that override config defaults, "
-        "e.g. -p module_1.a=2 module_2.b=3",
+        "e.g. -p module_1.a=2 module_2.b=3 (repeatable: argparse's plain "
+        "nargs='+' would silently DROP all but the last -p flag)",
     )
     return parser
 

@@ -112,9 +112,13 @@ def _gather_corr_chunk(f_ref, f_quads, coords, H, W):
         f_quads, idx.reshape(B, V, K * Hr * Wr)[..., None], axis=2,
         mode="clip")
     g = g.reshape(B, V, K, Hr, Wr, 4 * C)
+    # fp8 gather buffers (opt-in, halves the random-read bytes again) are
+    # upcast to bf16 for the dot: the v5e MXU has no fp8 mode, and the
+    # win is HBM traffic, not matmul throughput
+    cd = jnp.bfloat16 if jnp.dtype(g.dtype).itemsize == 1 else g.dtype
     dot = lambda q: jnp.einsum(
-        "bvkhwc,bvhwc->bvkhw", g[..., q * C : (q + 1) * C],
-        f_ref.astype(g.dtype), preferred_element_type=jnp.float32)
+        "bvkhwc,bvhwc->bvkhw", g[..., q * C : (q + 1) * C].astype(cd),
+        f_ref.astype(cd), preferred_element_type=jnp.float32)
     return (
         dot(0) * ((1 - fx) * (1 - fy) * in_x0 * in_y0)
         + dot(1) * (fx * (1 - fy) * in_x1 * in_y0)

@@ -520,6 +520,7 @@ def inference(
     mesh=None,
     view_batch: int = 1,
     construction: str = "auto",
+    device_prefetch: bool = True,
 ):
     # NOTE view_batch > 1 amortizes fixed costs for SMALL scenes — measured
     # 4.30 maps/s (vb=4, auto->exact) vs 3.27 (vb=1 rectified) at 384x512
@@ -597,9 +598,19 @@ def inference(
     buf = []
 
     def flush(buf):
+        import jax
+        import jax.numpy as jnp
+
         names = [b[0] for b in buf]
+        ims = [b[1] for b in buf]
+        if isinstance(ims[0], jax.Array):
+            # prep already device_put the bf16 images (double-buffered
+            # upload: the transfer overlapped the previous batch's compute)
+            images = ims[0][None] if len(ims) == 1 else jnp.stack(ims)
+        else:
+            images = np.stack(ims)
         fut = runner.submit_batch(
-            np.stack([b[1] for b in buf]), np.stack([b[2] for b in buf]),
+            images, np.stack([b[2] for b in buf]),
             np.stack([b[3] for b in buf]), [b[4] for b in buf])
         return (names, fut, time.perf_counter())
 
@@ -624,7 +635,11 @@ def inference(
         # host-side prep off the critical path: resample/crop/pad + the
         # fp32->bf16 conversion (~73 ms/view at DTU scale 1) run in the
         # prefetch thread and overlap device compute; submit_batch passes
-        # bf16 images through untouched
+        # bf16 images through untouched.  device_prefetch additionally
+        # starts the host->device upload here (async under jax), so the
+        # transfer itself double-buffers against the previous batch's
+        # compute instead of serializing into the dispatch.
+        import jax
         import jax.numpy as jnp
 
         images, poses, intrinsics, image_names, scale = item
@@ -633,8 +648,10 @@ def inference(
             images, intrinsics = crop_operation(images, intrinsics, *crop)
         # static-shape requirement: trim to the encoder stride
         images, intrinsics = pad_to_multiple(images, intrinsics, factor)
-        return (np.asarray(images).astype(jnp.bfloat16), poses, intrinsics,
-                image_names, scale)
+        images = np.asarray(images).astype(jnp.bfloat16)
+        if device_prefetch and view_batch <= 1 and mesh is None:
+            images = jax.device_put(images)
+        return (images, poses, intrinsics, image_names, scale)
 
     for images, poses, intrinsics, image_names, scale in _prefetched(
             test_loader, prep):

@@ -11,6 +11,27 @@ from cermvs_tpu.models.raft import RAFT
 from cermvs_tpu.models.update import UpdateBlock
 
 
+def test_cli_repeated_flags_accumulate():
+    """Repeated ``-p``/``-g`` flags must ALL apply (argparse's plain
+    nargs='+' silently keeps only the last occurrence — the round-4 CLI
+    drill caught every multi-override invocation losing its bindings)."""
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    cfg.add_cli_flags(parser)
+    args = parser.parse_args(
+        ["-p", "RAFT.hyp_chunk = 4", "-p", 'RAFT.encoder_type = "LR"',
+         "-p", "RAFT.cascade = [[4, 64, 1]]"])
+    assert len(args.gin_param) == 3
+    cfg.clear_config()
+    try:
+        cfg.parse_config(args.gin_param)
+        m = RAFT()
+        assert m.hyp_chunk == 4 and m.encoder_type == "LR"
+    finally:
+        cfg.clear_config()
+
+
 def test_raft_config_binding():
     cfg.clear_config()
     cfg.parse_config([
