@@ -251,11 +251,14 @@ def main():
             # glb=0.25 reflects aggressive masking — sweep looser adaptive
             # targets (reported, NOT gated) reusing the written depths
             for glb in (0.4, 0.6):
+                # tot_iter=8: the default 4-iteration search is too coarse
+                # to land near a looser target (0.4 and 0.6 take the same
+                # path and produce identical clouds)
                 r = eval_pipeline_trained(
                     params, "sphere", Hp, Wp, n_views=args.pipeline_views,
                     nf=args.pipeline_views - 1,
                     out_dir="results/quality_trained/sphere", glb=glb,
-                    reuse_depths=True)
+                    reuse_depths=True, tot_iter=8)
                 line[f"sphere_comp_glb{glb}"] = round(
                     r["completeness_mm"], 3)
                 print(f"| sphere glb={glb} | {r['n_points']} | "
@@ -267,7 +270,7 @@ def main():
 
 def eval_pipeline_trained(params, scene_name, H, W, n_views, nf, out_dir,
                           construction="auto", hyp_chunk=8, glb=0.25,
-                          reuse_depths=False):
+                          reuse_depths=False, tot_iter=4):
     """Trained-model depths (rescale 1 and 2) -> multires -> fusion ->
     accuracy/completeness vs the analytic surface.  Mirrors
     quality_harness.eval_pipeline but through the REAL InferenceRunner."""
@@ -324,7 +327,7 @@ def eval_pipeline_trained(params, scene_name, H, W, n_views, nf, out_dir,
                        [str(j) for j in order], 1.0)
 
     ply = fusion(_Loader(), out, rescale=2, suffix=f"_nf{nf}_nf{nf}_th0.02",
-                 glb=glb, tot_iter=4)
+                 glb=glb, tot_iter=tot_iter)
 
     verts = _read_ply_xyz(ply)
     rng = np.random.RandomState(2)
