@@ -48,7 +48,10 @@ def banded_pass(img, m, out_w, chunk=128, band=256):
     """Banded variant: per output chunk, slice a ``band``-wide input window
     at the traced band start; hats evaluated against global indices."""
     h_s, w_s, C = img.shape
-    n_chunks = out_w // chunk
+    n_chunks = -(-out_w // chunk)
+    if n_chunks * chunk != out_w:  # pad the position map (edge values keep
+        # the last chunk's band anchored to its REAL columns); slice output
+        m = jnp.pad(m, ((0, 0), (0, n_chunks * chunk - out_w)), mode="edge")
 
     def one_chunk(c):
         mc = jax.lax.dynamic_slice_in_dim(m, c * chunk, chunk, axis=1)
@@ -63,7 +66,8 @@ def banded_pass(img, m, out_w, chunk=128, band=256):
                           preferred_element_type=jnp.float32)
 
     out = jax.lax.map(one_chunk, jnp.arange(n_chunks))
-    return jnp.moveaxis(out, 0, 1).reshape(h_s, out_w, C)
+    out = jnp.moveaxis(out, 0, 1).reshape(h_s, n_chunks * chunk, C)
+    return out[:, :out_w]
 
 
 def main():
@@ -83,13 +87,24 @@ def main():
                 + 3.0 * np.sin(x / max(out_w, 1) * 2)).astype(np.float32)
         m_np = np.clip(m_np, 0, w_s - 1)
         m = jnp.asarray(m_np)
-        f_full = jax.jit(lambda im, mm: full_pass(im, mm, out_w).sum())
-        f_band = jax.jit(lambda im, mm: banded_pass(im, mm, out_w).sum())
+        REP = 20  # amortize the ~28 ms tunnel dispatch in-graph
+
+        def loop(fn):
+            def run(im, mm):
+                def body(acc, _):
+                    # perturb the input so XLA cannot CSE the iterations
+                    return acc, fn(im + acc * 1e-6, mm).sum()
+                _, s = jax.lax.scan(body, jnp.bfloat16(0), None, length=REP)
+                return s.sum()
+            return jax.jit(run)
+
         a = np.asarray(jax.jit(lambda im, mm: full_pass(im, mm, out_w))(img, m))
         b = np.asarray(jax.jit(lambda im, mm: banded_pass(im, mm, out_w))(img, m))
         rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
-        tf = timeit_scalar(f_full, img, m)
-        tb = timeit_scalar(f_band, img, m)
+        tf = timeit_scalar(loop(lambda im, mm: full_pass(im, mm, out_w)),
+                           img, m) / REP
+        tb = timeit_scalar(loop(lambda im, mm: banded_pass(im, mm, out_w)),
+                           img, m) / REP
         print(f"{tag:20s} ({h_s}x{w_s}->{out_w}): full {tf*1e3:7.2f} ms  "
               f"banded {tb*1e3:7.2f} ms  (x{tf/tb:.2f}; max rel diff "
               f"{rel:.2e})", flush=True)
