@@ -285,6 +285,35 @@ class TestViewScan:
                                    np.asarray(vol_exact),
                                    rtol=1e-4, atol=1e-4)
 
+    def test_kernel_budget_gates_groups_and_views(self):
+        """The VMEM budget model caps group merges and flags unaffordable
+        per-view windows (the TNT nf25 mixed-routing inputs)."""
+        from cermvs_tpu.ops.corr_rectified import (affordable_rect_views,
+                                                   group_views)
+        from cermvs_tpu.ops.pallas.epiband import (EPIBAND_VMEM_CAP,
+                                                   kernel_vmem_bytes)
+
+        # wide-rate plan shaped like a TNT nf-many scene: far views carry
+        # sigma ~17 px/hypothesis at D=64
+        incre = 0.0025 / 64
+        rates = [(3e4, 3.5e4), (3e4, 3.5e4), (1.2e5, 1.5e5),
+                 (2.8e5, 3.2e5), (3.0e5, 4.5e5)]
+        plan = rectify.RectPlan(
+            64, 640, 1600, 16, True, "", rate_lo=3e4, rate_hi=4.5e5,
+            view_rates=tuple(rates),
+            view_s_max=(256, 256, 640, 1344, 1600))
+        ok = affordable_rect_views(plan, 5, 64, incre)
+        assert 0 in ok and 1 in ok          # narrow windows fit
+        assert 4 not in ok                  # sigma ~17.6: beyond the cap
+        # grouping never merges past the cap
+        groups = group_views(plan, 5, max_groups=1, n_hyp=64, incre=incre)
+        assert len(groups) > 1              # a single group would blow VMEM
+        for lo, hi, s, idx in groups:
+            ws = plan.w_r + s + plan.s_neg
+            assert kernel_vmem_bytes(
+                64, lo * incre, hi * incre, ws, 64) <= EPIBAND_VMEM_CAP or \
+                len(idx) == 1  # singletons may exceed (routed to mixed)
+
     def test_volume_fn_auto_threshold(self):
         """make_rectified_volume_fn('auto') switches to the scan at
         VIEW_SCAN_AUTO_MIN views and matches the unrolled closure."""
