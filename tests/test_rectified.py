@@ -896,6 +896,89 @@ class TestMixedConstruction:
         # isolated pixels
         np.testing.assert_allclose(d_auto, d_exact, rtol=2e-3, atol=1e-4)
 
+    def test_kernel_budget_routes_to_mixed(self, monkeypatch):
+        """When SOME views' per-view epiband windows exceed the VMEM cap
+        (geometry fine — the TNT nf25 situation), the runner resolves the
+        MIXED construction and matches the exact path."""
+        from cermvs_tpu.models.raft import RAFT
+        from cermvs_tpu.ops.pallas import epiband
+        from cermvs_tpu.ops.pallas.epiband import kernel_vmem_bytes
+        from cermvs_tpu.ops.rectify import plan_rectification
+        from cermvs_tpu.pipeline.inference import InferenceRunner
+
+        H, W = 64, 192
+        K = np.array([[80.0, 0, W / 2], [0, 80.0, H / 2], [0, 0, 1]],
+                     np.float32)
+        poses = np.stack([np.eye(4, dtype=np.float32) for _ in range(4)])
+        poses[1, 0, 3] = -0.8   # small baseline: cheap window
+        poses[2, 0, 3] = 1.0
+        poses[3, 0, 3] = -6.0   # large baseline: expensive window
+        rng = np.random.RandomState(0)
+        images = rng.rand(4, H, W, 3).astype(np.float32) * 255
+        intr = np.tile(K, (4, 1, 1))
+
+        intr4 = intr.astype(np.float64).copy()
+        intr4[:, :2] /= 4.0
+        plan = plan_rectification(poses.astype(np.float64), intr4,
+                                  H // 4, W // 4, lambda_max=0.1)
+        assert plan.ok, plan.reason
+        incre = 0.1 / 8  # matches rect_lambda_max-scale slabs below
+        d0, n_div = 8, 0.5
+        costs = [kernel_vmem_bytes(
+            d0, plan.view_params(v)[0] * 0.0025 / n_div,
+            plan.view_params(v)[1] * 0.0025 / n_div,
+            plan.w_r + plan.view_params(v)[2] + plan.s_neg, 64)
+            for v in range(3)]
+        assert max(costs) > min(costs)  # baselines spread the windows
+        cap = (max(costs) + min(costs)) // 2
+        monkeypatch.setattr(epiband, "EPIBAND_VMEM_CAP", int(cap))
+
+        model = RAFT(test_mode=True, cascade=((8, 0.5, 2),),
+                     dtype=jnp.float32)
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.asarray(images[None]),
+            jnp.asarray(poses[None]), jnp.asarray(intr[None]),
+            jnp.asarray([1.0]))
+        kw = dict(cascade=((8, 0.5, 2),), dtype=jnp.float32,
+                  rect_lambda_max=0.1)
+        r_auto = InferenceRunner(params, construction="auto", **kw)
+        d_auto = r_auto(images, poses, intr, 1.0)
+        assert r_auto._last_path == "mixed", r_auto._last_path
+        assert np.isfinite(d_auto).all()
+        # the compiled key carries the kept subset: the expensive view is
+        # NOT among the rectified views
+        (pplan, kept), = r_auto._rect_models.keys()
+        assert len(kept) < 3
+
+        # numeric parity of the budget-filtered mixed volume vs the exact
+        # volume (model-level comparisons through RANDOM weights are
+        # chaotic by design — the volume is the contract)
+        from cermvs_tpu.ops import corr as corr_ops
+        from cermvs_tpu.ops.corr_rectified import make_mixed_volume_fn
+
+        h, w = H // 4, W // 4
+        rngf = np.random.RandomState(1)
+        fmaps = jnp.asarray(rngf.rand(1, 4, h, w, 16).astype(np.float32))
+        ii = jnp.zeros(3, jnp.int32)
+        jj = jnp.arange(1, 4, dtype=jnp.int32)
+        D, incre = 8, 0.005
+        origin = jnp.full((1, 1, h, w), (D // 2) * incre, jnp.float32)
+        intrj = jnp.asarray(intr4[None].astype(np.float32))
+        posesj = jnp.asarray(poses[None])
+        # note the runner canonicalizes neighbor order; for the volume
+        # check use the ORIGINAL order with the same kept/dropped split
+        exact_vol = np.asarray(corr_ops.build_corr_volume(
+            fmaps, posesj, intrj, ii, jj, origin, D, incre, 8, True))
+        sub = [0] + [v + 1 for v in (0, 1)]
+        pplan2 = plan_rectification(poses[sub].astype(np.float64),
+                                    intr4[sub], h, w, lambda_max=0.1)
+        mixed_vol = np.asarray(make_mixed_volume_fn(pplan2, (0, 1),
+                                                    impl="oracle")(
+            fmaps, posesj, intrj, ii, jj, origin, D, incre,
+            mean_over_views=True))
+        np.testing.assert_allclose(mixed_vol, exact_vol, rtol=1e-4,
+                                   atol=1e-5)
+
     def test_mixed_volume_per_view_order(self):
         """Per-view (non-mean) layout must restore the original jj order."""
         from cermvs_tpu.ops.corr import build_corr_volume
