@@ -52,8 +52,22 @@ def _resample_rows_oracle(fr_rect, fs_rect, base, sigma, n_hyp, s_max):
     return interp1d(G, idx)
 
 
+def _vmem_stages(n_hyp, incre, stages):
+    """Normalize VMEM-gate inputs to a list of (n_hyp, incre) cascade
+    stages.  Gating on EVERY stage matters: the default cascade's stage-0
+    windows dominate, but small-D first stages (e.g. ((8,64,2),(-1,320,2)))
+    invert the ordering — stage-1's ``D^2*incre`` expansion is then ~6x
+    stage-0's (round-4 advisor finding)."""
+    if stages is not None:
+        return [(int(d), float(i)) for d, i in stages]
+    if n_hyp is not None and incre is not None:
+        return [(int(n_hyp), float(incre))]
+    return None
+
+
 def group_views(plan: RectPlan, n_views: int, max_groups: int = 4,
-                n_hyp=None, incre=None, n_channels: int = 64, cap=None):
+                n_hyp=None, incre=None, n_channels: int = 64, cap=None,
+                stages=None):
     """Partition the views into few static-window groups.
 
     The unrolled builder emits one warp+kernel instance per view; at many
@@ -67,12 +81,14 @@ def group_views(plan: RectPlan, n_views: int, max_groups: int = 4,
     extra band sweep (the dominant widening cost: kernel work per row is
     ~``w_r + s_max``).
 
-    With ``n_hyp``/``incre`` given, merges are additionally gated by the
+    With ``n_hyp``/``incre`` (or ``stages``, a list of per-cascade-stage
+    ``(n_hyp, incre)`` pairs) given, merges are additionally gated by the
     epiband kernel's VMEM budget
     (:func:`cermvs_tpu.ops.pallas.epiband.kernel_vmem_bytes`): merging
     views widens the static rate window, and the kernel's per-hypothesis
     slice expansion grows ~``D^2 * Delta-sigma / 2`` — a 4.6x-span TNT
-    group crashed the Mosaic compile at ~11 MB.  ``max_groups`` is then a
+    group crashed the Mosaic compile at ~11 MB.  The gate takes the MAX
+    over all cascade stages' estimates.  ``max_groups`` is then a
     target, not a guarantee: when no legal merge remains the list stays
     longer (still O(groups) program size vs O(V)).
 
@@ -82,12 +98,14 @@ def group_views(plan: RectPlan, n_views: int, max_groups: int = 4,
         kernel_vmem_bytes
 
     cap = cap or EPIBAND_VMEM_CAP
-    budget_gated = n_hyp is not None and incre is not None
+    vstages = _vmem_stages(n_hyp, incre, stages)
+    budget_gated = vstages is not None
 
     def vmem(lo, hi, s):
         ws = plan.w_r + s + plan.s_neg
-        return kernel_vmem_bytes(n_hyp, max(lo * incre, 0.0), hi * incre,
-                                 ws, n_channels)
+        return max(kernel_vmem_bytes(d, max(lo * i, 0.0), hi * i,
+                                     ws, n_channels, s_max=s)
+                   for d, i in vstages)
 
     params = [plan.view_params(v) for v in range(n_views)]
     order = sorted(range(n_views), key=lambda v: (params[v][2], params[v][1],
@@ -118,9 +136,11 @@ def group_views(plan: RectPlan, n_views: int, max_groups: int = 4,
     return [(lo, hi, s, tuple(vs)) for (lo, hi, s), vs in groups]
 
 
-def affordable_rect_views(plan: RectPlan, n_views: int, n_hyp, incre,
-                          n_channels: int = 64, cap=None):
-    """Neighbor positions whose PER-VIEW epiband kernel fits the VMEM cap.
+def affordable_rect_views(plan: RectPlan, n_views: int, n_hyp=None,
+                          incre=None, n_channels: int = 64, cap=None,
+                          stages=None):
+    """Neighbor positions whose PER-VIEW epiband kernel fits the VMEM cap
+    at EVERY cascade stage (``stages``: list of (n_hyp, incre)).
 
     Far TNT views reach sigma ~17 px/hypothesis, where even the un-merged
     window expansion exceeds what the Mosaic compiler accepts; those views
@@ -131,12 +151,14 @@ def affordable_rect_views(plan: RectPlan, n_views: int, n_hyp, incre,
         kernel_vmem_bytes
 
     cap = cap or EPIBAND_VMEM_CAP
+    vstages = _vmem_stages(n_hyp, incre, stages)
     ok = []
     for v in range(n_views):
         lo, hi, s = plan.view_params(v)
         ws = plan.w_r + s + plan.s_neg
-        if kernel_vmem_bytes(n_hyp, max(lo * incre, 0.0), hi * incre, ws,
-                             n_channels) <= cap:
+        if max(kernel_vmem_bytes(d, max(lo * i, 0.0), hi * i, ws,
+                                 n_channels, s_max=s)
+               for d, i in vstages) <= cap:
             ok.append(v)
     return tuple(ok)
 
@@ -456,7 +478,8 @@ VIEW_SCAN_AUTO_MIN = 12
 
 
 def make_rectified_volume_fn(plan: RectPlan, impl: str = "pallas",
-                             view_scan="auto", max_view_groups: int = 4):
+                             view_scan="auto", max_view_groups: int = 4,
+                             stages=None):
     """Closure matching ``corr.build_corr_volume``'s signature, for
     ``RAFT(volume_fn=...)`` / ``build_corr_pyramid(volume_fn=...)``.
 
@@ -494,13 +517,16 @@ def make_rectified_volume_fn(plan: RectPlan, impl: str = "pallas",
         key = (id(fmaps), id(poses), id(intrinsics), id(ii), id(jj),
                jnp.dtype(feature_dtype).name, scan)
         if cache["key"] != key:
-            # groups are computed ONCE per trace from the FIRST stage's
-            # (n_hyp, incre) — the widest windows (stage 0's sigma is 5x
-            # stage 1's), so its budget-gated merges stay sound for later
-            # stages, and both stages share one warped-feature ctx
+            # groups are computed ONCE per trace (all stages share one
+            # warped-feature ctx and one grouping).  The VMEM gate covers
+            # EVERY cascade stage when the caller passes ``stages``;
+            # otherwise it falls back to the first-called stage's
+            # (n_hyp, incre) — sound for the default cascade (stage 0's
+            # windows dominate) but not for small-D first stages.
             groups = (group_views(plan, V, max_view_groups, n_hyp=n_hyp,
                                   incre=incre,
-                                  n_channels=int(fmaps.shape[-1]))
+                                  n_channels=int(fmaps.shape[-1]),
+                                  stages=stages)
                       if scan else None)
             mk = (rect_features_grouped if scan else rect_features)
             extra = (groups,) if scan else ()
@@ -528,7 +554,7 @@ def make_rectified_volume_fn(plan: RectPlan, impl: str = "pallas",
 
 
 def make_mixed_volume_fn(plan: RectPlan, rect_views, impl: str = "pallas",
-                         view_scan="auto"):
+                         view_scan="auto", stages=None):
     """Mixed construction: rectified (epiband) volume slices for the views
     in ``rect_views``, exact gather slices for the rest, combined in the
     caller's aggregation layout.
@@ -544,7 +570,8 @@ def make_mixed_volume_fn(plan: RectPlan, rect_views, impl: str = "pallas",
     import numpy as np
 
     rect_views = tuple(rect_views)
-    rect_fn = make_rectified_volume_fn(plan, impl, view_scan=view_scan)
+    rect_fn = make_rectified_volume_fn(plan, impl, view_scan=view_scan,
+                                       stages=stages)
 
     def volume_fn(fmaps, poses, intrinsics, ii, jj, origin, n_hyp, incre,
                   hyp_chunk=16, mean_over_views=False, gather_dtype=None,

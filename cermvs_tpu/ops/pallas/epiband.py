@@ -237,7 +237,7 @@ def _window_and_slices(D, sigma_lo, sigma_hi):
 
 
 def kernel_vmem_bytes(n_hyp, sigma_lo, sigma_hi, ws, C, fp32=False,
-                      xc=XC):
+                      xc=XC, s_max=None):
     """Predicted VMEM residency of one epiband kernel instance.
 
     The window-dependent terms dominate and scale with ``total`` — the
@@ -249,6 +249,13 @@ def kernel_vmem_bytes(n_hyp, sigma_lo, sigma_hi, ws, C, fp32=False,
     (``corr_rectified.group_views`` and the inference runner's
     affordability gate) keep instances under ``EPIBAND_VMEM_CAP``.
     """
+    if sigma_hi is None or sigma_hi <= 0:
+        # mirror the builder (corr_rectified passes sigma_hi=None when
+        # rate_hi <= 0, and epiband_resample then spans the full band):
+        # estimate at the full-band window, not the degenerate M=4 one
+        sigma_lo = 0.0
+        sigma_hi = float(s_max if s_max is not None else ws) / max(
+            n_hyp - 1, 1)
     M, slices = _window_and_slices(n_hyp, sigma_lo, sigma_hi)
     M = min(M, ws)
     total = sum(min(u1, M) - min(u0, M - 1) for u0, u1 in slices)

@@ -129,11 +129,21 @@ class InferenceRunner:
 
         self._plan_cache = PlanCache()
 
+    def _vmem_stages(self):
+        """Every cascade stage's (n_hyp, incre) for the epiband VMEM gates
+        (``-1`` resolved through the model's own auto-D rule, so
+        gin-configured radius/num_levels stay consistent)."""
+        return [(self.model._auto_hyps(d), 0.0025 / n)
+                for d, n, _ in self.model.cascade]
+
     def _plan_for(self, poses, intrinsics, scale, img_shape,
-                  mem_shards: int = 1):
+                  mem_shards: int = 1, union_windows: bool = False):
         """Host-side per-sample rectification plan (not-ok when the exact
         path must be used).  ``mem_shards``: how many chips the view axis is
-        split over — the persistent warped-feature budget is per chip."""
+        split over — the persistent warped-feature budget is per chip.
+        ``union_windows``: the caller's dispatch widens kernels to the
+        plan's SCENE-WIDE union bounds (meshed paths trace one program for
+        all shards) — gate VMEM on those bounds, not per-view ones."""
         from cermvs_tpu.ops.rectify import (RectPlan, plan_rectification,
                                             rect_cost_ratio)
 
@@ -162,16 +172,34 @@ class InferenceRunner:
                 # affordable views and exact gathers for the rest
                 from cermvs_tpu.ops.corr_rectified import \
                     affordable_rect_views
+                from cermvs_tpu.ops.pallas.epiband import (
+                    EPIBAND_VMEM_CAP, kernel_vmem_bytes)
 
-                d0, n_div, _ = self.model.cascade[0]
-                if d0 == -1:
-                    d0 = 44
-                ok = affordable_rect_views(plan, V, d0, 0.0025 / n_div, C)
+                stages = self._vmem_stages()
+                ok = affordable_rect_views(plan, V, stages=stages,
+                                           n_channels=C)
                 if len(ok) < V:
                     plan = RectPlan(
                         0, 0, 0, 0, False,
                         f"epiband window exceeds kernel budget for views "
                         f"{tuple(v for v in range(V) if v not in ok)}")
+                elif union_windows or mem_shards > 1:
+                    # meshed dispatch (view/row/grid sharding) traces ONE
+                    # program for all shards, widening every kernel to the
+                    # plan's scene-wide bounds — a scene whose views fit
+                    # per-view can still blow VMEM union-wide
+                    ws = plan.w_r + plan.s_max + plan.s_neg
+                    union = max(
+                        kernel_vmem_bytes(d, max(plan.rate_lo * i, 0.0),
+                                          plan.rate_hi * i, ws, C,
+                                          s_max=plan.s_max)
+                        for d, i in stages)
+                    if union > EPIBAND_VMEM_CAP:
+                        plan = RectPlan(
+                            0, 0, 0, 0, False,
+                            f"scene-wide union epiband window "
+                            f"~{union / 1e6:.1f} MB exceeds kernel budget "
+                            f"under meshed dispatch")
             if (plan.ok and self.construction == "auto"
                     and self.rect_cost_ratio_max is not None):
                 ratio = rect_cost_ratio(
@@ -200,7 +228,8 @@ class InferenceRunner:
             if plan not in self._rect_models:
                 self._rect_models[plan] = RAFT(
                     test_mode=True,
-                    volume_fn=make_rectified_volume_fn(plan),
+                    volume_fn=make_rectified_volume_fn(
+                        plan, stages=self._vmem_stages()),
                     **self.model_kwargs)
             return self._rect_models[plan], plan
         # mixed construction: the full planner rejects the scene when ANY
@@ -226,15 +255,25 @@ class InferenceRunner:
         from cermvs_tpu.ops.corr_rectified import affordable_rect_views
         from cermvs_tpu.ops.rectify import plan_rectification
 
-        d0, n_div, _ = self.model.cascade[0]
-        d0 = 44 if d0 == -1 else d0
-        for _ in range(3):
+        stages = self._vmem_stages()
+
+        def all_affordable():
+            ok_pos = affordable_rect_views(
+                pplan, len(rect_views), stages=stages,
+                n_channels=self.model.dim_fmap)
+            return ok_pos, len(ok_pos) == len(rect_views)
+
+        # shrink until STABLE: re-planning a subset can widen a kept view's
+        # window (union geometry changes), so loop until the affordability
+        # check covers every kept view; if the bound trips without
+        # converging, bail to the exact path rather than risk an
+        # over-budget kernel compile
+        stable = False
+        for _ in range(8):
             if not pplan.ok or not rect_views:
                 break
-            ok_pos = affordable_rect_views(
-                pplan, len(rect_views), d0, 0.0025 / n_div,
-                self.model.dim_fmap)
-            if len(ok_pos) == len(rect_views):
+            ok_pos, stable = all_affordable()
+            if stable:
                 break
             rect_views = tuple(rect_views[i] for i in ok_pos)
             if not rect_views:
@@ -243,7 +282,8 @@ class InferenceRunner:
             pplan = plan_rectification(
                 poses64[sub], intr[sub], img_shape[0] // f,
                 img_shape[1] // f, lambda_max=self.rect_lambda_max)
-        if not pplan.ok or not rect_views or len(rect_views) == n_views:
+        if (not stable or not pplan.ok or not rect_views
+                or len(rect_views) == n_views):
             return None, None
         rect_bytes = (2 * len(rect_views) * pplan.h_r
                       * (pplan.w_r + pplan.ws_r) * self.model.dim_fmap)
@@ -253,7 +293,8 @@ class InferenceRunner:
         if key not in self._rect_models:
             self._rect_models[key] = RAFT(
                 test_mode=True,
-                volume_fn=make_mixed_volume_fn(pplan, rect_views),
+                volume_fn=make_mixed_volume_fn(pplan, rect_views,
+                                               stages=stages),
                 **self.model_kwargs)
         return self._rect_models[key], key
 
@@ -293,7 +334,9 @@ class InferenceRunner:
         plan = self._plan_cache.key_for(plan)
         if plan not in self._rect_models:
             self._rect_models[plan] = RAFT(
-                test_mode=True, volume_fn=make_rectified_volume_fn(plan),
+                test_mode=True,
+                volume_fn=make_rectified_volume_fn(
+                    plan, stages=self._vmem_stages()),
                 **self.model_kwargs)
         return self._rect_models[plan], plan, images, poses, intrinsics
 
@@ -435,7 +478,8 @@ class InferenceRunner:
             else:
                 plan = self._plan_for(
                     poses[0], intrinsics[0], scales[0], images[0].shape[1:3],
-                    mem_shards=int(self.mesh.shape.get("view", 1)))
+                    mem_shards=int(self.mesh.shape.get("view", 1)),
+                    union_windows=True)
                 key = plan if plan.ok else None
         if key is not None:
             self._last_path = ("mixed" if isinstance(key, tuple)
@@ -476,7 +520,7 @@ class InferenceRunner:
                 self._warned_fallback = True
             return None, None
         plan = self._plan_for(poses[0], intrinsics[0], scales[0], (H, W),
-                              mem_shards=n_sh)
+                              mem_shards=n_sh, union_windows=True)
         if not plan.ok:
             return None, None
         intr_feat = np.asarray(intrinsics[0], np.float64).copy()

@@ -314,6 +314,44 @@ class TestViewScan:
                 64, lo * incre, hi * incre, ws, 64) <= EPIBAND_VMEM_CAP or \
                 len(idx) == 1  # singletons may exceed (routed to mixed)
 
+    def test_kernel_budget_gates_all_cascade_stages(self):
+        """The VMEM gate takes the max over ALL cascade stages: a small-D
+        first stage inverts which stage's window dominates (stage-1's
+        D^2*incre expansion ~6x stage-0's for ((8,64,2),(-1,320,2))), and
+        rate_hi <= 0 plans fall back to the full-band window estimate —
+        not the degenerate M=4 one (round-4 advisor findings)."""
+        from cermvs_tpu.ops.corr_rectified import affordable_rect_views
+        from cermvs_tpu.ops.pallas.epiband import kernel_vmem_bytes
+
+        rates = [(3e4, 3.5e4), (3.0e5, 4.5e5)]
+        plan = rectify.RectPlan(
+            64, 640, 1600, 16, True, "", rate_lo=3e4, rate_hi=4.5e5,
+            view_rates=tuple(rates), view_s_max=(256, 1600))
+        small_d = [(8, 0.0025 / 64), (44, 0.0025 / 320)]
+        costs = [max(kernel_vmem_bytes(
+            d, plan.view_params(v)[0] * i, plan.view_params(v)[1] * i,
+            plan.w_r + plan.view_params(v)[2] + plan.s_neg, 64,
+            s_max=plan.view_params(v)[2]) for d, i in small_d)
+            for v in range(2)]
+        # stage-1 (D=44) dominates the far view for the small-D cascade
+        s0 = kernel_vmem_bytes(8, rates[1][0] * 0.0025 / 64,
+                               rates[1][1] * 0.0025 / 64,
+                               plan.w_r + 1600 + 16, 64, s_max=1600)
+        assert costs[1] > s0
+        # gate on a cap between the two stages' estimates: stage-0-only
+        # gating would accept the view, the multi-stage gate rejects it
+        cap = (s0 + costs[1]) // 2
+        ok_stage0 = affordable_rect_views(plan, 2, 8, 0.0025 / 64, cap=cap)
+        ok_all = affordable_rect_views(plan, 2, stages=small_d, cap=cap)
+        assert 1 in ok_stage0 and 1 not in ok_all
+        # rate_hi <= 0 (full-band fallback): estimate must mirror the
+        # builder's whole-band window, far above the degenerate one
+        full = kernel_vmem_bytes(64, 0.0, 0.0, plan.w_r + 1600 + 16, 64,
+                                 s_max=1600)
+        degenerate = kernel_vmem_bytes(64, 0.0, 1e-9, plan.w_r + 1600 + 16,
+                                       64)
+        assert full > 10 * degenerate
+
     def test_volume_fn_auto_threshold(self):
         """make_rectified_volume_fn('auto') switches to the scan at
         VIEW_SCAN_AUTO_MIN views and matches the unrolled closure."""
