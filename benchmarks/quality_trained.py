@@ -40,6 +40,23 @@ def main():
     # contributing — cap the curriculum weight below 1 for short schedules
     # (the reference ramps over its full 216k steps)
     ap.add_argument("--gw-cap", type=float, default=0.5)
+    ap.add_argument("--augment", action="store_true",
+                    help="Run C: train through the SHIPPED multi-scale "
+                         "augmentation (data/augment.py random_scale_and_"
+                         "crop, scale 2^U(-0.15,0.5) + crop — the actual "
+                         "train.py data path, utils/data_utils.py:6-34)")
+    ap.add_argument("--base-size", type=int, nargs=2, default=[768, 1024],
+                    help="pre-augmentation render size (scale*base must "
+                         "cover the crop: 2^-0.15 * base >= train-size)")
+    ap.add_argument("--pool", type=int, default=48,
+                    help="augmented-sample pool size: crops are drawn from "
+                         "the true augmentation distribution ONCE and kept "
+                         "device-resident (per-step host augmentation + "
+                         "upload leaks ~25 MB/step in the tunnel client — "
+                         "QUALITY.md run-B notes)")
+    ap.add_argument("--eval-size2", type=int, nargs=2, default=None,
+                    help="second WTA eval size (Run C: evaluate at BOTH "
+                         "576x800-class and 1152x1600)")
     ap.add_argument("--pipeline", action="store_true",
                     help="also run depths->multires->fusion with the "
                          "trained operator and score the fused cloud")
@@ -99,7 +116,34 @@ def main():
                 })
         return scans
 
-    train_scans = render_set(Ht, Wt, (0, 1, 2))
+    if args.augment:
+        # Run C: render base scans ABOVE the crop size, then draw a pool of
+        # samples through the SHIPPED augmentation — every pool entry is one
+        # (scale, crop) draw of random_scale_and_crop on a base scan, so the
+        # operator trains across scales exactly as configs/train_*.gin does
+        from cermvs_tpu.data.augment import random_scale_and_crop
+
+        Hb, Wb = args.base_size
+        assert 2 ** (-0.15) * Hb >= Ht and 2 ** (-0.15) * Wb >= Wt, \
+            "base render must cover the crop at the smallest draw"
+        base_scans = render_set(Hb, Wb, (0, 1, 2))
+        arng = np.random.RandomState(42)
+        train_scans = []
+        for i in range(args.pool):
+            s = base_scans[i % len(base_scans)]
+            im, dp, K = random_scale_and_crop(
+                s["images"][0], s["depths"][0], s["intrinsics"][0],
+                crop_size=(Ht, Wt), rng=arng)
+            train_scans.append({
+                "images": im[None].astype(np.float32),
+                "depths": dp[None].astype(np.float32),
+                "poses": s["poses"],
+                "intrinsics": K[None].astype(np.float32),
+            })
+        print(f"augmented pool: {args.pool} draws of random_scale_and_crop "
+              f"({Hb}x{Wb} -> {Ht}x{Wt}, nf{nf_t})", flush=True)
+    else:
+        train_scans = render_set(Ht, Wt, (0, 1, 2))
     if args.extra_size:
         # a second, larger resolution narrows the train->eval texture-
         # frequency gap (one extra compiled step per shape bucket)
@@ -198,35 +242,44 @@ def main():
                 print(f"  saved params at step {i}", flush=True)
         params = {"params": jax.device_get(state.params)}
 
-    # ---- held-out eval at the production shape, both constructions
-    fx_e = 2892.0 * We / 1600
-    Ke = np.array([[fx_e, 0, We / 2], [0, fx_e, He / 2], [0, 0, 1]],
-                  np.float64)
+    # ---- held-out eval, both constructions, at one or two sizes (Run C
+    # evaluates at BOTH 576x800-class and 1152x1600 to measure the scale
+    # gap the augmentation is supposed to close)
     results = {}
-    print("| scene | construction | median mm | p90 mm | <2mm |")
-    print("|---|---|---|---|---|")
-    for name in scene_names:
-        scene = SCENES[name](7, px_mm=600.0 / fx_e)  # held-out texture seed
-        poses = dtu_ring_poses(nf_e + 1, np.random.RandomState(99))
-        images, _ = build_scan(scene, poses, Ke, He, We)
-        K4e = Ke.copy()
-        K4e[:2] /= 4.0
-        gt4 = scene.depth(poses[0].astype(np.float64), K4e, He // 4, We // 4)
-        intr = np.tile(Ke.astype(np.float32), (nf_e + 1, 1, 1))
-        for construction in ("exact", "rectified"):
-            runner = InferenceRunner(params, construction=construction,
-                                     hyp_chunk=8)
-            t1 = time.perf_counter()
-            depth = runner(images.astype(np.float32),
-                           poses.astype(np.float32), intr, 1.0)
-            stats = depth_error_stats(np.asarray(depth), gt4)
-            stats["seconds"] = round(time.perf_counter() - t1, 2)
-            results[f"{name}_{construction}"] = stats
-            print(f"| {name} | {construction} | {stats['median_mm']:.3f} | "
-                  f"{stats['p90_mm']:.3f} | {stats['frac_lt_2mm']:.3f} |",
-                  flush=True)
+    eval_sizes = [(He, We)] + ([tuple(args.eval_size2)]
+                               if args.eval_size2 else [])
+    for Hx, Wx in eval_sizes:
+        fx_e = 2892.0 * Wx / 1600
+        Ke = np.array([[fx_e, 0, Wx / 2], [0, fx_e, Hx / 2], [0, 0, 1]],
+                      np.float64)
+        print(f"| scene ({Hx}x{Wx}) | construction | median mm | p90 mm "
+              f"| <2mm |")
+        print("|---|---|---|---|---|")
+        for name in scene_names:
+            scene = SCENES[name](7, px_mm=600.0 / fx_e)  # held-out texture
+            poses = dtu_ring_poses(nf_e + 1, np.random.RandomState(99))
+            images, _ = build_scan(scene, poses, Ke, Hx, Wx)
+            K4e = Ke.copy()
+            K4e[:2] /= 4.0
+            gt4 = scene.depth(poses[0].astype(np.float64), K4e, Hx // 4,
+                              Wx // 4)
+            intr = np.tile(Ke.astype(np.float32), (nf_e + 1, 1, 1))
+            for construction in ("exact", "rectified"):
+                runner = InferenceRunner(params, construction=construction,
+                                         hyp_chunk=8)
+                t1 = time.perf_counter()
+                depth = runner(images.astype(np.float32),
+                               poses.astype(np.float32), intr, 1.0)
+                stats = depth_error_stats(np.asarray(depth), gt4)
+                stats["seconds"] = round(time.perf_counter() - t1, 2)
+                tag = ("" if (Hx, Wx) == (He, We) else f"_{Hx}x{Wx}")
+                results[f"{name}_{construction}{tag}"] = stats
+                print(f"| {name} | {construction} | "
+                      f"{stats['median_mm']:.3f} | "
+                      f"{stats['p90_mm']:.3f} | {stats['frac_lt_2mm']:.3f} |",
+                      flush=True)
     line = {"steps": args.steps, "train": f"{Ht}x{Wt}",
-            "eval": f"{He}x{We}", **{
+            "eval": f"{He}x{We}", "augment": bool(args.augment), **{
                 k: round(v["median_mm"], 3) for k, v in results.items()}}
 
     if args.pipeline:

@@ -209,3 +209,10 @@ def add_cli_flags(parser):
 def parse_cli(args, config_dir="configs"):
     files = [os.path.join(config_dir, f"{g}.gin") for g in args.gin_config]
     parse_config_files_and_bindings(files, args.gin_param, skip_unknown=True)
+    # every CLI entry point routes through here: wire the persistent XLA
+    # compilation cache so process restarts replay compiled buckets from
+    # disk (the reference's eager torch pays zero compile cost — parity in
+    # user experience requires hiding ours).  CERMVS_COMPILE_CACHE=0 opts out.
+    from cermvs_tpu.utils.compile_cache import setup_compilation_cache
+
+    setup_compilation_cache()

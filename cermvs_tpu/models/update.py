@@ -233,7 +233,7 @@ class UpdateBlock(nn.Module):
             inp.astype(self.dtype))
 
     def __call__(self, net, inp, disp, corr_frames, stage: int,
-                 gru_ctx=None, row_mask=None):
+                 gru_ctx=None, row_mask=None, pre_aggregated=False):
         """net/inp: (B, H, W, dim); disp: (B, H, W, 1) fp32;
         corr_frames: (B, V, H, W, cor_planes) fp32; gru_ctx: optional
         precomputed :meth:`gru_ctx` (else computed here, per call).
@@ -241,18 +241,24 @@ class UpdateBlock(nn.Module):
         run this block on a block of rows EXTENDED by ghost rows; rows
         beyond the global image must enter every convolution as zeros (the
         unsharded model's SAME padding) — the mask zeroes them at each conv
-        input.  Returns (net, delta)."""
+        input.  ``pre_aggregated``: corr_frames is already the
+        view-aggregated (B, H, W, len(aggregation)*cor_planes) tensor
+        (view-sharded callers compute mean/max/std with mesh collectives,
+        parallel/infer.py).  Returns (net, delta)."""
         dt = self.dtype
         dctx = (100.0 * disp_context(disp, self.size_disp_enc)).astype(dt)
 
-        parts = []
-        if "mean" in self.aggregation:
-            parts.append(jnp.mean(corr_frames, axis=1))
-        if "max" in self.aggregation:
-            parts.append(jnp.max(corr_frames, axis=1))
-        if "std" in self.aggregation:
-            parts.append(jnp.std(corr_frames, axis=1))
-        corr = jnp.concatenate(parts, axis=-1).astype(dt)
+        if pre_aggregated:
+            corr = corr_frames.astype(dt)
+        else:
+            parts = []
+            if "mean" in self.aggregation:
+                parts.append(jnp.mean(corr_frames, axis=1))
+            if "max" in self.aggregation:
+                parts.append(jnp.max(corr_frames, axis=1))
+            if "std" in self.aggregation:
+                parts.append(jnp.std(corr_frames, axis=1))
+            corr = jnp.concatenate(parts, axis=-1).astype(dt)
 
         if self.is_initializing():
             # materialize every stage's parameters regardless of which stages

@@ -52,6 +52,25 @@ def _resample_rows_oracle(fr_rect, fs_rect, base, sigma, n_hyp, s_max):
     return interp1d(G, idx)
 
 
+MAX_K_CHUNKS = 8
+
+
+def _pick_kc(n_hyp, incre, lo, hi, s, plan, n_channels, cap=None,
+             max_k=None):
+    """Hypothesis-chunk count for one view/group's epiband kernel: 1 =
+    unchunked fast path, >1 = the chunked kernel
+    (``epiband._epiband_kernel_chunked``), 0 = unaffordable even chunked
+    (route to exact gathers)."""
+    from cermvs_tpu.ops.pallas.epiband import pick_k_chunks
+
+    if max_k is None:
+        max_k = MAX_K_CHUNKS  # resolved at call time (tests monkeypatch)
+    ws = plan.w_r + s + plan.s_neg
+    return pick_k_chunks(n_hyp, max(lo * incre, 0.0),
+                         hi * incre if hi > 0 else 0.0, ws, n_channels,
+                         cap=cap, max_k=max_k, s_max=s)
+
+
 def _vmem_stages(n_hyp, incre, stages):
     """Normalize VMEM-gate inputs to a list of (n_hyp, incre) cascade
     stages.  Gating on EVERY stage matters: the default cascade's stage-0
@@ -67,7 +86,7 @@ def _vmem_stages(n_hyp, incre, stages):
 
 def group_views(plan: RectPlan, n_views: int, max_groups: int = 4,
                 n_hyp=None, incre=None, n_channels: int = 64, cap=None,
-                stages=None):
+                stages=None, max_k_chunks=None):
     """Partition the views into few static-window groups.
 
     The unrolled builder emits one warp+kernel instance per view; at many
@@ -94,17 +113,16 @@ def group_views(plan: RectPlan, n_views: int, max_groups: int = 4,
 
     Returns a list of ``(rate_lo, rate_hi, s_max, view_indices)``.
     """
-    from cermvs_tpu.ops.pallas.epiband import EPIBAND_VMEM_CAP, \
-        kernel_vmem_bytes
-
-    cap = cap or EPIBAND_VMEM_CAP
     vstages = _vmem_stages(n_hyp, incre, stages)
     budget_gated = vstages is not None
 
-    def vmem(lo, hi, s):
-        ws = plan.w_r + s + plan.s_neg
-        return max(kernel_vmem_bytes(d, max(lo * i, 0.0), hi * i,
-                                     ws, n_channels, s_max=s)
+    def affordable(lo, hi, s):
+        # a merge is legal when EVERY stage's kernel fits the budget at
+        # SOME chunk count (the chunked kernel bounds VMEM as (D/n_k)^2,
+        # so this nearly always holds; max_k_chunks=1 reproduces the
+        # round-4 unchunked gate)
+        return all(_pick_kc(d, i, lo, hi, s, plan, n_channels, cap=cap,
+                            max_k=max_k_chunks) != 0
                    for d, i in vstages)
 
     params = [plan.view_params(v) for v in range(n_views)]
@@ -123,7 +141,7 @@ def group_views(plan: RectPlan, n_views: int, max_groups: int = 4,
             (l1, h1, s1), v1 = groups[i]
             (l2, h2, s2), v2 = groups[i + 1]
             ml, mh, ms = min(l1, l2), max(h1, h2), max(s1, s2)
-            if budget_gated and vmem(ml, mh, ms) > cap:
+            if budget_gated and not affordable(ml, mh, ms):
                 continue
             costs.append((len(v1) * (ms - s1) + len(v2) * (ms - s2), i))
         if not costs:
@@ -138,27 +156,25 @@ def group_views(plan: RectPlan, n_views: int, max_groups: int = 4,
 
 def affordable_rect_views(plan: RectPlan, n_views: int, n_hyp=None,
                           incre=None, n_channels: int = 64, cap=None,
-                          stages=None):
+                          stages=None, max_k_chunks=None):
     """Neighbor positions whose PER-VIEW epiband kernel fits the VMEM cap
-    at EVERY cascade stage (``stages``: list of (n_hyp, incre)).
+    at EVERY cascade stage (``stages``: list of (n_hyp, incre)), at SOME
+    hypothesis-chunk count up to ``max_k_chunks``.
 
-    Far TNT views reach sigma ~17 px/hypothesis, where even the un-merged
-    window expansion exceeds what the Mosaic compiler accepts; those views
-    must take the exact gather path (the MIXED construction,
-    :func:`make_mixed_volume_fn`) — the round-3 VERDICT's prescribed cap.
+    Far TNT views reach sigma ~17 px/hypothesis, where the UNCHUNKED
+    window expansion (17-36 MB) exceeds what the Mosaic compiler accepts;
+    with the chunked kernel (round-5) the per-chunk windows scale as
+    ``(D/n_k)^2`` and every production view fits — ``max_k_chunks=1``
+    reproduces the round-4 behavior (unaffordable views route to the MIXED
+    construction's exact gathers, which remains the fallback for ``0``
+    picks and geometric rejections).
     """
-    from cermvs_tpu.ops.pallas.epiband import EPIBAND_VMEM_CAP, \
-        kernel_vmem_bytes
-
-    cap = cap or EPIBAND_VMEM_CAP
     vstages = _vmem_stages(n_hyp, incre, stages)
     ok = []
     for v in range(n_views):
         lo, hi, s = plan.view_params(v)
-        ws = plan.w_r + s + plan.s_neg
-        if max(kernel_vmem_bytes(d, max(lo * i, 0.0), hi * i, ws,
-                                 n_channels, s_max=s)
-               for d, i in vstages) <= cap:
+        if all(_pick_kc(d, i, lo, hi, s, plan, n_channels, cap=cap,
+                        max_k=max_k_chunks) != 0 for d, i in vstages):
             ok.append(v)
     return tuple(ok)
 
@@ -307,7 +323,11 @@ def _build_grouped(rect_ctx, groups, origin, n_hyp, incre, plan, h, w, V,
             xs["fx"] = _take_static(fw[0], idx)
             xs["fy"] = _take_static(fw[1], idx)
 
-        def body(carry, x, _lo=lo, _hi=hi, _s=s_g):
+        C_g = int(fr_g.shape[-1])
+        kc_g = (_pick_kc(n_hyp, incre, lo, hi, s_g, plan, C_g)
+                if impl == "pallas" else 1)
+
+        def body(carry, x, _lo=lo, _hi=hi, _s=s_g, _kc=kc_g):
             if zero_slab:
                 base = jnp.zeros((plan.h_r, plan.w_r), jnp.float32)
             else:
@@ -315,7 +335,7 @@ def _build_grouped(rect_ctx, groups, origin, n_hyp, incre, plan, h, w, V,
                     org, x["rx"], x["ry"], mode="clamp")[..., 0]
                 base = x["rate"] * (origin_rect - (n_hyp // 2) * incre)
             sigma = x["rate"] * incre
-            if impl == "pallas":
+            if impl == "pallas" and _kc > 0:
                 from cermvs_tpu.ops.pallas.epiband import epiband_resample
 
                 vol_rect = epiband_resample(
@@ -323,7 +343,8 @@ def _build_grouped(rect_ctx, groups, origin, n_hyp, incre, plan, h, w, V,
                     n_hyp, _s,
                     sigma_lo=max(_lo * incre, 0.0),
                     sigma_hi=_hi * incre if _hi > 0 else None,
-                    static_base=zero_slab)[0]
+                    static_base=zero_slab and _kc == 1,
+                    k_chunks=_kc)[0]
             else:
                 vol_rect = _resample_rows_oracle(
                     x["fr"], x["fs"], base, sigma, n_hyp, _s)
@@ -413,7 +434,9 @@ def build_corr_volume_rectified(
                 org, rrx[v], rry[v], mode="clamp")[..., 0]
             base = geo["rate"][v] * (origin_rect - (n_hyp // 2) * incre)
         sigma = geo["rate"][v] * incre
-        if impl == "pallas":
+        kc = (_pick_kc(n_hyp, incre, rate_lo, rate_hi, s_max_v, plan, C)
+              if impl == "pallas" else 1)
+        if impl == "pallas" and kc > 0:
             from cermvs_tpu.ops.pallas.epiband import epiband_resample
 
             sigma_hi = rate_hi * incre if rate_hi > 0 else None
@@ -421,8 +444,12 @@ def build_corr_volume_rectified(
                 fr_rect[None], fs_rect[None], base[None], sigma[None],
                 n_hyp, s_max_v,
                 sigma_lo=max(rate_lo * incre, 0.0),
-                sigma_hi=sigma_hi, static_base=zero_slab)[0]
+                sigma_hi=sigma_hi, static_base=zero_slab and kc == 1,
+                k_chunks=kc)[0]
         else:
+            # kc == 0: even maximal hypothesis chunking exceeds the kernel
+            # VMEM budget (upstream gates normally route such views to the
+            # exact gathers; this in-graph fallback keeps the builder safe)
             vol_rect = _resample_rows_oracle(
                 fr_rect, fs_rect, base, sigma, n_hyp, s_max_v)
         # back-warp in the volume's feature dtype: bf16 halves the HBM

@@ -33,8 +33,40 @@ from cermvs_tpu.ops import corr as corr_ops
 from cermvs_tpu.ops.geometry import relative_projection
 
 
+def _slot_layout(V, n_shards, rect_views):
+    """Static per-shard view-slot layout.
+
+    Plain sharding: views 0..V-1 padded to a shard multiple (pads replicate
+    the last view, zero weight).  MIXED construction (``rect_views`` a
+    proper subset): shard_map traces ONE program per shard, so the
+    rect/exact construction split must land at the SAME local slots on
+    every shard — each shard's local layout is ``[r_per rect | e_per
+    exact]`` slots, with the rect (exact) views distributed across shards'
+    rect (exact) slots and per-group padding replicating the group's last
+    view at zero weight.  Returns (slots, weights, r_per, e_per)."""
+    if rect_views is None:
+        V_pad = -(-V // n_shards) * n_shards
+        slots = list(range(V)) + [V - 1] * (V_pad - V)
+        weights = [1.0] * V + [0.0] * (V_pad - V)
+        return np.asarray(slots), np.asarray(weights, np.float32), None, None
+    rect_views = tuple(int(v) for v in rect_views)
+    exact_views = tuple(v for v in range(V) if v not in rect_views)
+    assert rect_views and exact_views, "mixed layout needs both groups"
+    r_per = -(-len(rect_views) // n_shards)
+    e_per = -(-len(exact_views) // n_shards)
+    slots, weights = [], []
+    for s in range(n_shards):
+        for group, per in ((rect_views, r_per), (exact_views, e_per)):
+            g = group[s * per: (s + 1) * per]
+            slots += list(g) + [group[-1]] * (per - len(g))
+            weights += [1.0] * len(g) + [0.0] * (per - len(g))
+    return (np.asarray(slots), np.asarray(weights, np.float32), r_per,
+            e_per)
+
+
 def view_sharded_forward(model, params, images, poses, intrinsics, scale,
-                         mesh: Mesh, plan=None):
+                         mesh: Mesh, plan=None, rect_views=None,
+                         view_scan=False):
     """Test-mode forward with neighbor views sharded over ``mesh``'s 'view'
     axis.  Same contract as ``model.apply`` in test mode: returns (B, h, w)
     scaled disparity.
@@ -46,11 +78,29 @@ def view_sharded_forward(model, params, images, poses, intrinsics, scale,
     path).  shard_map traces ONE program for every shard, so the per-view
     static kernel windows are widened to the plan's scene-wide bounds
     (``view_rates`` cleared); requires B == 1 like the unsharded path.
+
+    ``rect_views``: a proper subset of neighbor positions selects the MIXED
+    construction under the mesh — the production TNT nf25 path
+    (``/root/reference/demo.py:49``) when some views fail the planner's
+    per-pair gates: each shard builds rectified volume slices for its rect
+    slots and exact gathers for its exact slots (``plan`` must then be the
+    partial plan covering ``rect_views``, in their order).
+
+    ``view_scan``: drive the per-shard rectified construction through the
+    grouped ``lax.scan`` builder (program size O(groups); with scene-wide
+    windows all local views share one group).
+
+    Aggregations beyond the default mean (``core/update.py:101-109``'s
+    max/std options) are supported: per-view volumes stay shard-local and
+    each GRU iteration aggregates the looked-up correlation features with
+    mesh collectives (psum for mean/std moments, pmax for max; padded
+    slots enter max as -inf and the moments with zero weight).
     """
-    assert tuple(model.aggregation) == ("mean",), \
-        "view sharding requires mean aggregation (the reference default)"
+    per_view_agg = tuple(model.aggregation) != ("mean",)
     if plan is not None and not plan.ok:
         plan = None
+    if plan is None:
+        rect_views = None
     if plan is not None:
         assert images.shape[0] == 1, "rectified view sharding requires B==1"
         import dataclasses
@@ -61,7 +111,6 @@ def view_sharded_forward(model, params, images, poses, intrinsics, scale,
     n_shards = mesh.shape["view"]
     B, N, H, W, _ = images.shape
     V = N - 1
-    V_pad = -(-V // n_shards) * n_shards
     factor = model.stride_factor
     h, w = H // factor, W // factor
     radius = model.radius
@@ -75,25 +124,18 @@ def view_sharded_forward(model, params, images, poses, intrinsics, scale,
 
     ii = jnp.zeros(V, jnp.int32)
     jj = jnp.arange(1, N, dtype=jnp.int32)
-    Pij = relative_projection(poses, intrinsics, ii, jj)  # (B, V, 4, 4)
-    # pad the view axis with identity projections and zero weight
-    pad = V_pad - V
-    Pij = jnp.concatenate(
-        [Pij, jnp.broadcast_to(jnp.eye(4), (B, pad, 4, 4))], axis=1)
-    view_weight = jnp.concatenate(
-        [jnp.ones((V,), jnp.float32), jnp.zeros((pad,), jnp.float32)])
-    src_images = jnp.concatenate(
-        [images[:, 1:], jnp.zeros((B, pad, H, W, 3), images.dtype)], axis=1)
-    # raw per-view poses/intrinsics for the rectified construction; padded
-    # slots REPLICATE the last real view (identity poses would put a zero
-    # baseline through rect_geometry and poison the psum with NaNs — the
-    # pads' features are zeroed, so any valid geometry contributes nothing)
-    src_poses = jnp.concatenate(
-        [poses[:, 1:], jnp.broadcast_to(poses[:, N - 1:N],
-                                        (B, pad, 4, 4))], axis=1)
-    src_K = jnp.concatenate(
-        [intrinsics[:, 1:], jnp.broadcast_to(intrinsics[:, N - 1:N],
-                                             (B, pad, 3, 3))], axis=1)
+    Pij_all = relative_projection(poses, intrinsics, ii, jj)  # (B, V, 4, 4)
+    slots, w_np, r_per, e_per = _slot_layout(V, n_shards, rect_views)
+    # static reindex by slot layout (pads REPLICATE a real view: identity
+    # poses would put a zero baseline through rect_geometry and poison the
+    # psum with NaNs — the pads' features are zeroed, so any valid
+    # geometry contributes nothing)
+    sel = lambda a: jnp.stack([a[:, g] for g in slots], axis=1)
+    Pij = sel(Pij_all)
+    view_weight = jnp.asarray(w_np)
+    src_images = sel(images[:, 1:])
+    src_poses = sel(poses[:, 1:])
+    src_K = sel(intrinsics[:, 1:])
     # (shards, per_shard, ...) so shard_map splits the leading axis
     src_images = jnp.moveaxis(src_images, 1, 0)
     Pij_s = jnp.moveaxis(Pij, 1, 0)
@@ -106,8 +148,9 @@ def view_sharded_forward(model, params, images, poses, intrinsics, scale,
     def fnet_fn(m, x):
         return m.fnet(x)
 
-    def update_fn(m, net, inp, disp, corr, stage, gctx):
-        return m.update_block(net, inp, disp, corr, stage, gru_ctx=gctx)
+    def update_fn(m, net, inp, disp, corr, stage, gctx, pre_agg=False):
+        return m.update_block(net, inp, disp, corr, stage, gru_ctx=gctx,
+                              pre_aggregated=pre_agg)
 
     def gru_ctx_fn(m, inp, stage):
         return m.update_block.gru_ctx(inp, stage)
@@ -152,19 +195,31 @@ def view_sharded_forward(model, params, images, poses, intrinsics, scale,
 
         if plan is not None:
             from cermvs_tpu.ops.corr_rectified import (
-                build_corr_volume_rectified, rect_features)
+                build_corr_volume_rectified, group_views, rect_features,
+                rect_features_grouped)
 
+            # mixed layout: local slots [0, r_per) are rect-constructed,
+            # [r_per, V_local) exact — identical on every shard by
+            # construction (_slot_layout)
+            n_rect = V_local if rect_views is None else r_per
             fmaps_local = jnp.concatenate(
-                [f_ref1[:, None], f_src_raw], axis=1)  # (1, 1+V_local, ...)
+                [f_ref1[:, None], f_src_raw[:, :n_rect]], axis=1)
             poses_local = jnp.concatenate(
-                [ref_pose, jnp.moveaxis(poses_l, 0, 1)], axis=1)
+                [ref_pose, jnp.moveaxis(poses_l, 0, 1)[:, :n_rect]], axis=1)
             K_local = jnp.concatenate(
-                [ref_K, jnp.moveaxis(K_l, 0, 1)], axis=1)
-            ii_l = jnp.zeros(V_local, jnp.int32)
-            jj_l = jnp.arange(1, V_local + 1, dtype=jnp.int32)
+                [ref_K, jnp.moveaxis(K_l, 0, 1)[:, :n_rect]], axis=1)
+            ii_l = jnp.zeros(n_rect, jnp.int32)
+            jj_l = jnp.arange(1, n_rect + 1, dtype=jnp.int32)
             # pose-dependent, stage-independent warps computed once
-            rect_ctx = rect_features(fmaps_local, poses_local, K_local,
-                                     ii_l, jj_l, plan, model.dtype)
+            if view_scan:
+                groups_l = group_views(plan, n_rect)
+                rect_ctx = rect_features_grouped(
+                    fmaps_local, poses_local, K_local, ii_l, jj_l, plan,
+                    model.dtype, groups_l)
+            else:
+                groups_l = None
+                rect_ctx = rect_features(fmaps_local, poses_local, K_local,
+                                         ii_l, jj_l, plan, model.dtype)
 
         disp = jnp.zeros((B, h, w, 1), jnp.float32)
         impl = model.lookup_impl
@@ -177,18 +232,44 @@ def view_sharded_forward(model, params, images, poses, intrinsics, scale,
             # into the global view-mean volume — the per-iteration psum of
             # lookup features collapses to this single collective because the
             # lookup is linear and its index is view-independent.
+            mean_fold = not per_view_agg
             if plan is not None:
                 vol_local = build_corr_volume_rectified(
                     fmaps_local, poses_local, K_local, ii_l, jj_l, origin,
-                    n_hyp, incre, plan, mean_over_views=True,
+                    n_hyp, incre, plan, mean_over_views=mean_fold,
                     gather_dtype=model.dtype, zero_slab=(stage == 0),
-                    rect_ctx=rect_ctx) * V_local
+                    rect_ctx=rect_ctx, view_scan=view_scan,
+                    groups=groups_l)
+                if mean_fold:
+                    vol_local = vol_local * n_rect
+                if rect_views is not None:
+                    # exact gathers for the local exact slots (padded slots
+                    # carry zero features — exactly zero contribution)
+                    vol_exact = corr_ops.build_corr_volume_from(
+                        f_ref[:, n_rect:], f_src[:, n_rect:],
+                        Pij_bl[:, n_rect:], origin, n_hyp, incre,
+                        hyp_chunk=model.hyp_chunk, mean_over_views=mean_fold,
+                        gather_dtype=model.dtype)
+                    if mean_fold:
+                        vol_local = vol_local + vol_exact * e_per
+                    else:
+                        vol_local = jnp.concatenate(
+                            [vol_local, vol_exact], axis=1)
             else:
                 vol_local = corr_ops.build_corr_volume_from(
                     f_ref, f_src, Pij_bl, origin, n_hyp, incre,
-                    hyp_chunk=model.hyp_chunk, mean_over_views=True,
-                    gather_dtype=model.dtype) * V_local
-            vol = jax.lax.psum(vol_local, "view") / w_sum
+                    hyp_chunk=model.hyp_chunk, mean_over_views=mean_fold,
+                    gather_dtype=model.dtype)
+                if mean_fold:
+                    vol_local = vol_local * V_local
+            if mean_fold:
+                vol = jax.lax.psum(vol_local, "view") / w_sum
+                Vv = 1
+            else:
+                # per-view volumes stay LOCAL; aggregation happens on the
+                # looked-up features each iteration (below)
+                vol = vol_local
+                Vv = V_local
             levels = (corr_ops.build_pyramid(vol, num_levels)
                       if impl != "pallas" else [vol])
             pyr = corr_ops.CorrPyramid(
@@ -197,14 +278,39 @@ def view_sharded_forward(model, params, images, poses, intrinsics, scale,
 
             # loop-invariant context gate contributions, hoisted out of scan
             g_ctx = model.apply(params, inp, stage, method=gru_ctx_fn)
+            wv = weight_l[None, :, None, None, None]
 
             def body(carry, _):
                 net, disp = carry
-                zinv = jnp.broadcast_to(disp[..., 0][:, None], (B, 1, h, w))
-                corr_mean = corr_ops.lookup(pyr, zinv, radius, impl=impl)
+                zinv = jnp.broadcast_to(disp[..., 0][:, None], (B, Vv, h, w))
+                corr_l = corr_ops.lookup(pyr, zinv, radius, impl=impl)
+                if mean_fold:
+                    net2, delta = model.apply(
+                        params, net, inp, disp, corr_l, stage,
+                        method=update_fn, gctx=g_ctx)
+                    return (net2, disp + delta), ()
+                # collective view aggregation of the correlation features
+                # (zero-weight padded slots excluded from every statistic)
+                parts = []
+                mean = None
+                if "mean" in model.aggregation or "std" in model.aggregation:
+                    mean = jax.lax.psum(
+                        jnp.sum(corr_l * wv, axis=1), "view") / w_sum
+                if "mean" in model.aggregation:
+                    parts.append(mean)
+                if "max" in model.aggregation:
+                    big = jnp.where(wv > 0, corr_l, -jnp.inf)
+                    parts.append(jax.lax.pmax(
+                        jnp.max(big, axis=1), "view"))
+                if "std" in model.aggregation:
+                    d2 = jax.lax.psum(
+                        jnp.sum(wv * (corr_l - mean[:, None]) ** 2, axis=1),
+                        "view") / w_sum
+                    parts.append(jnp.sqrt(d2))
+                corr_agg = jnp.concatenate(parts, axis=-1)
                 net2, delta = model.apply(
-                    params, net, inp, disp, corr_mean, stage,
-                    method=update_fn, gctx=g_ctx)
+                    params, net, inp, disp, corr_agg, stage,
+                    method=update_fn, gctx=g_ctx, pre_agg=True)
                 return (net2, disp + delta), ()
 
             (net, disp), _ = jax.lax.scan(

@@ -257,7 +257,13 @@ def rect_banded_volume(plan, band_h, geo, fr_bands, fs_bands, q0_loc, row0,
             origin_band = rect_mod.warp_image(
                 org, px, py - row0, mode="clamp")[..., 0]
             base = rate_band * (origin_band - (n_hyp // 2) * incre)
+        kc = 1
         if impl == "pallas":
+            from cermvs_tpu.ops.corr_rectified import _pick_kc
+
+            kc = _pick_kc(n_hyp, incre, rate_lo, rate_hi, s_max_v, plan,
+                          int(fr_bands[v].shape[-1]))
+        if impl == "pallas" and kc > 0:
             from cermvs_tpu.ops.pallas.epiband import epiband_resample
 
             vol_band = epiband_resample(
@@ -265,7 +271,8 @@ def rect_banded_volume(plan, band_h, geo, fr_bands, fs_bands, q0_loc, row0,
                 sigma[None], n_hyp, s_max_v,
                 sigma_lo=max(rate_lo * incre, 0.0),
                 sigma_hi=rate_hi * incre if rate_hi > 0 else None,
-                static_base=zero_slab)[0]          # (band_h, w_r, D)
+                static_base=zero_slab and kc == 1,
+                k_chunks=kc)[0]                    # (band_h, w_r, D)
         else:
             from cermvs_tpu.ops.corr_rectified import _resample_rows_oracle
 

@@ -84,7 +84,8 @@ class InferenceRunner:
     def __init__(self, params, model=None, mesh=None, construction="auto",
                  rect_lambda_max: float = 0.00375,
                  rect_memory_budget: float = 6e9,
-                 rect_cost_ratio_max: float = None, **model_kwargs):
+                 rect_cost_ratio_max: float = None,
+                 max_k_chunks: int = None, **model_kwargs):
         import jax
         from cermvs_tpu.models.raft import RAFT
 
@@ -115,6 +116,10 @@ class InferenceRunner:
         # scenes whose plans blow up (feature-res ratios run 0.06-0.13 at
         # the bench scenes; a pathological plan would sit well above 1).
         self.rect_cost_ratio_max = rect_cost_ratio_max
+        # ceiling on the epiband kernel's hypothesis-chunk count (None =
+        # corr_rectified.MAX_K_CHUNKS; 1 disables chunking, restoring the
+        # round-4 route-to-mixed behavior for over-budget windows)
+        self.max_k_chunks = max_k_chunks
         self._cache: Dict[tuple, object] = {}
         self._rect_models: Dict[object, object] = {}
         self._warned_fallback = False
@@ -170,14 +175,13 @@ class InferenceRunner:
                 # ~17 px/hypothesis at TNT nf25) — such scenes route to
                 # the MIXED construction (_rect_model), rect for the
                 # affordable views and exact gathers for the rest
-                from cermvs_tpu.ops.corr_rectified import \
-                    affordable_rect_views
-                from cermvs_tpu.ops.pallas.epiband import (
-                    EPIBAND_VMEM_CAP, kernel_vmem_bytes)
+                from cermvs_tpu.ops.corr_rectified import (
+                    _pick_kc, affordable_rect_views)
 
                 stages = self._vmem_stages()
                 ok = affordable_rect_views(plan, V, stages=stages,
-                                           n_channels=C)
+                                           n_channels=C,
+                                           max_k_chunks=self.max_k_chunks)
                 if len(ok) < V:
                     plan = RectPlan(
                         0, 0, 0, 0, False,
@@ -188,18 +192,14 @@ class InferenceRunner:
                     # program for all shards, widening every kernel to the
                     # plan's scene-wide bounds — a scene whose views fit
                     # per-view can still blow VMEM union-wide
-                    ws = plan.w_r + plan.s_max + plan.s_neg
-                    union = max(
-                        kernel_vmem_bytes(d, max(plan.rate_lo * i, 0.0),
-                                          plan.rate_hi * i, ws, C,
-                                          s_max=plan.s_max)
-                        for d, i in stages)
-                    if union > EPIBAND_VMEM_CAP:
+                    if any(_pick_kc(d, i, plan.rate_lo, plan.rate_hi,
+                                    plan.s_max, plan, C,
+                                    max_k=self.max_k_chunks) == 0
+                           for d, i in stages):
                         plan = RectPlan(
                             0, 0, 0, 0, False,
-                            f"scene-wide union epiband window "
-                            f"~{union / 1e6:.1f} MB exceeds kernel budget "
-                            f"under meshed dispatch")
+                            "scene-wide union epiband window exceeds the "
+                            "kernel budget under meshed dispatch")
             if (plan.ok and self.construction == "auto"
                     and self.rect_cost_ratio_max is not None):
                 ratio = rect_cost_ratio(
@@ -217,28 +217,21 @@ class InferenceRunner:
             self._warned_fallback = True
         return plan
 
-    def _rect_model(self, poses, intrinsics, scale, img_shape):
-        """Host-side per-sample plan -> model with the rectified volume_fn
-        (None when the exact path must be used)."""
-        from cermvs_tpu.models.raft import RAFT
-        from cermvs_tpu.ops.corr_rectified import make_rectified_volume_fn
+    def _mixed_plan(self, poses, intrinsics, scale, img_shape,
+                    union_windows: bool = False, mem_shards: int = 1):
+        """MIXED-construction planning: (pplan, rect_views) for the subset
+        of neighbors that pass the per-pair geometric gates AND fit the
+        kernel budget, or (None, None) when the exact path must be used.
 
-        plan = self._plan_for(poses, intrinsics, scale, img_shape)
-        if plan.ok:
-            if plan not in self._rect_models:
-                self._rect_models[plan] = RAFT(
-                    test_mode=True,
-                    volume_fn=make_rectified_volume_fn(
-                        plan, stages=self._vmem_stages()),
-                    **self.model_kwargs)
-            return self._rect_models[plan], plan
-        # mixed construction: the full planner rejects the scene when ANY
-        # pair fails, but per-pair gates often pass for a subset of
-        # neighbors (forward-motion sequences keep lateral neighbors) —
-        # build those views' volume slices through the fast path and only
-        # the rest through the exact gathers
-        from cermvs_tpu.ops.corr_rectified import make_mixed_volume_fn
-        from cermvs_tpu.ops.rectify import plan_rectification_partial
+        The full planner rejects a scene when ANY pair fails, but per-pair
+        gates often pass for a subset (forward-motion sequences keep
+        lateral neighbors) — those views' volume slices go through the
+        fast path, the rest through exact gathers.  ``union_windows``:
+        gate on the partial plan's scene-wide bounds (meshed dispatch)."""
+        from cermvs_tpu.ops.corr_rectified import (_pick_kc,
+                                                   affordable_rect_views)
+        from cermvs_tpu.ops.rectify import (plan_rectification,
+                                            plan_rectification_partial)
 
         f = self.model.stride_factor
         poses64 = np.asarray(poses, np.float64).copy()
@@ -249,19 +242,29 @@ class InferenceRunner:
             poses64, intr, img_shape[0] // f, img_shape[1] // f,
             lambda_max=self.rect_lambda_max)
         n_views = poses.shape[0] - 1
-        # drop views whose per-view epiband kernel exceeds the VMEM budget
-        # (far TNT views), re-planning the kept subset until stable — the
-        # exact gathers cover the dropped views (the mixed construction)
-        from cermvs_tpu.ops.corr_rectified import affordable_rect_views
-        from cermvs_tpu.ops.rectify import plan_rectification
-
         stages = self._vmem_stages()
+        C = self.model.dim_fmap
 
         def all_affordable():
+            # drop views whose per-view epiband kernel exceeds the VMEM
+            # budget; under meshed dispatch additionally require the
+            # scene-wide union window of the kept subset to fit (one traced
+            # program per shard)
             ok_pos = affordable_rect_views(
-                pplan, len(rect_views), stages=stages,
-                n_channels=self.model.dim_fmap)
-            return ok_pos, len(ok_pos) == len(rect_views)
+                pplan, len(rect_views), stages=stages, n_channels=C,
+                max_k_chunks=self.max_k_chunks)
+            stable = len(ok_pos) == len(rect_views)
+            if stable and union_windows:
+                stable = all(
+                    _pick_kc(d, i, pplan.rate_lo, pplan.rate_hi,
+                             pplan.s_max, pplan, C,
+                             max_k=self.max_k_chunks) != 0
+                    for d, i in stages)
+                if not stable:
+                    # no principled per-view drop order for a union
+                    # violation: drop the widest-window view
+                    ok_pos = tuple(range(len(rect_views) - 1))
+            return ok_pos, stable
 
         # shrink until STABLE: re-planning a subset can widen a kept view's
         # window (union geometry changes), so loop until the affordability
@@ -286,9 +289,33 @@ class InferenceRunner:
                 or len(rect_views) == n_views):
             return None, None
         rect_bytes = (2 * len(rect_views) * pplan.h_r
-                      * (pplan.w_r + pplan.ws_r) * self.model.dim_fmap)
+                      * (pplan.w_r + pplan.ws_r) * C
+                      // max(mem_shards, 1))
         if rect_bytes > self.rect_memory_budget:
             return None, None
+        return pplan, rect_views
+
+    def _rect_model(self, poses, intrinsics, scale, img_shape):
+        """Host-side per-sample plan -> model with the rectified volume_fn
+        (None when the exact path must be used)."""
+        from cermvs_tpu.models.raft import RAFT
+        from cermvs_tpu.ops.corr_rectified import (make_mixed_volume_fn,
+                                                   make_rectified_volume_fn)
+
+        plan = self._plan_for(poses, intrinsics, scale, img_shape)
+        if plan.ok:
+            if plan not in self._rect_models:
+                self._rect_models[plan] = RAFT(
+                    test_mode=True,
+                    volume_fn=make_rectified_volume_fn(
+                        plan, stages=self._vmem_stages()),
+                    **self.model_kwargs)
+            return self._rect_models[plan], plan
+        pplan, rect_views = self._mixed_plan(poses, intrinsics, scale,
+                                             img_shape)
+        if pplan is None:
+            return None, None
+        stages = self._vmem_stages()
         key = (pplan, rect_views)
         if key not in self._rect_models:
             self._rect_models[key] = RAFT(
@@ -374,6 +401,10 @@ class InferenceRunner:
 
         model = model or self.model
         cache_key = (shape, key)
+        # first dispatch of a bucket traces + compiles inside the call:
+        # the driver's do_report uses this to split compile from
+        # steady-state in the per-view timer
+        self.last_dispatch_compiled = cache_key not in self._cache
         if cache_key not in self._cache:
             if self.grid_mesh:
                 from cermvs_tpu.parallel.spatial import grid_sharded_forward
@@ -398,10 +429,15 @@ class InferenceRunner:
                 from cermvs_tpu.parallel.infer import view_sharded_forward
 
                 # under a view mesh, ``key`` is the (hashable) RectPlan
-                # selecting the sharded rectified construction, None = exact
+                # selecting the sharded rectified construction, a
+                # (pplan, rect_views) pair selecting the MIXED construction
+                # (rect slices + exact gathers per shard), or None = exact
+                plan_arg, rv = (key if isinstance(key, tuple)
+                                else (key, None))
                 self._cache[cache_key] = jax.jit(
                     lambda p, im, po, k, s: view_sharded_forward(
-                        model, p, im, po, k, s, self.mesh, plan=key))
+                        model, p, im, po, k, s, self.mesh, plan=plan_arg,
+                        rect_views=rv))
             else:
                 self._cache[cache_key] = jax.jit(
                     lambda p, im, po, k, s: model.apply(p, im, po, k, s))
@@ -476,11 +512,21 @@ class InferenceRunner:
                 model, key = self._rect_model(
                     poses[0], intrinsics[0], scales[0], images[0].shape[1:3])
             else:
+                n_sh = int(self.mesh.shape.get("view", 1))
                 plan = self._plan_for(
                     poses[0], intrinsics[0], scales[0], images[0].shape[1:3],
-                    mem_shards=int(self.mesh.shape.get("view", 1)),
-                    union_windows=True)
-                key = plan if plan.ok else None
+                    mem_shards=n_sh, union_windows=True)
+                if plan.ok:
+                    key = plan
+                else:
+                    # MIXED under the view mesh: rect slices for the
+                    # rectifiable affordable subset, exact gathers for the
+                    # rest, per-shard [rect | exact] slot layout
+                    pplan, rv = self._mixed_plan(
+                        poses[0], intrinsics[0], scales[0],
+                        images[0].shape[1:3], union_windows=True,
+                        mem_shards=n_sh)
+                    key = (pplan, rv) if pplan is not None else None
         if key is not None:
             self._last_path = ("mixed" if isinstance(key, tuple)
                                and len(key) == 2 and isinstance(key[1], tuple)
@@ -605,7 +651,7 @@ def inference(
     # otherwise the encoder stride
     factor = runner.shape_multiple
 
-    def emit(name, depth, tic):
+    def emit(name, depth, tic, compile_s=0.0):
         if do_report:
             # the reference's do_report probes peak memory at the
             # cost-volume high-water mark (core/corr.py:98-99 ->
@@ -622,8 +668,13 @@ def inference(
 
             peak = max((s["peak_bytes_in_use_mb"]
                         for s in device_memory_stats().values()), default=0.0)
+            # a shape change makes this interval include the NEXT bucket's
+            # jit trace+compile (the dispatch blocks on it) — report it
+            # separately so steady-state latency reads clean
+            note = (f"  [incl. {compile_s:.1f}s jit compile]"
+                    if compile_s > 0 else "")
             print(f"per view time: {time.perf_counter() - tic:.3f}s  "
-                  f"peak HBM: {peak:.0f} MB ({name})")
+                  f"peak HBM: {peak:.0f} MB ({name}){note}")
         write_pfm(output_folder / "depths"
                   / f"{name}_scale{rescale}_nf{num_frames}.pfm", depth)
         if write_min_depth is not None:
@@ -653,16 +704,25 @@ def inference(
             images = ims[0][None] if len(ims) == 1 else jnp.stack(ims)
         else:
             images = np.stack(ims)
+        t_sub = time.perf_counter()
         fut = runner.submit_batch(
             images, np.stack([b[2] for b in buf]),
             np.stack([b[3] for b in buf]), [b[4] for b in buf])
-        return (names, fut, time.perf_counter())
+        tic = time.perf_counter()
+        # first dispatch of a shape bucket blocks on jit trace+compile —
+        # report that interval so the PREVIOUS view's pipeline-inclusive
+        # timer can name it (weak-spot: a shape change otherwise silently
+        # charges a full compile to one view's latency)
+        compile_s = (tic - t_sub
+                     if getattr(runner, "last_dispatch_compiled", False)
+                     else 0.0)
+        return (names, fut, tic, compile_s)
 
-    def drain(pending):
-        names, fut, tic = pending
+    def drain(pending, compile_s=0.0):
+        names, fut, tic, _own = pending
         depths = runner.finalize_batch(fut)
         for name, depth in zip(names, depths):
-            emit(name, depth, tic)
+            emit(name, depth, tic, compile_s)
 
     def rotate(pending, buf):
         # dispatch batch i BEFORE fetching batch i-1: the dispatch is async
@@ -672,7 +732,9 @@ def inference(
         # bench.py with this schedule vs fetch-then-dispatch)
         nxt = flush(buf)
         if pending is not None:
-            drain(pending)
+            # batch i's compile (if any) falls inside batch i-1's
+            # wall-clock-between-views interval
+            drain(pending, compile_s=nxt[3])
         return nxt
 
     def prep(item):

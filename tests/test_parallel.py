@@ -82,6 +82,95 @@ def test_view_sharded_rectified_matches_single(rng, n_frames):
                                rtol=1e-3, atol=1e-4)
 
 
+def test_view_sharded_view_scan_matches_single(rng):
+    """The grouped lax.scan construction under the view mesh (one traced
+    epiband instance per window group) must match the unsharded forward."""
+    import dataclasses
+
+    from cermvs_tpu.ops.corr_rectified import make_rectified_volume_fn
+    from cermvs_tpu.ops.rectify import plan_rectification
+
+    images, poses, intr = _scene(rng, N=9)
+    K4 = np.asarray(intr).copy()
+    K4[..., :2, :] /= 4.0
+    H, W = images.shape[2:4]
+    plan = plan_rectification(np.asarray(poses), K4, H // 4, W // 4)
+    assert plan.ok, plan.reason
+    plan_sw = dataclasses.replace(plan, view_rates=(), view_s_max=())
+
+    model = RAFT(cascade=TINY, hyp_chunk=4, dtype=jnp.float32,
+                 test_mode=True)
+    scale = jnp.ones((1,))
+    params = model.init(jax.random.PRNGKey(0), images, poses, intr, scale)
+    m_rect = RAFT(cascade=TINY, hyp_chunk=4, dtype=jnp.float32,
+                  test_mode=True,
+                  volume_fn=make_rectified_volume_fn(plan_sw,
+                                                     view_scan=True))
+    ref = m_rect.apply(params, images, poses, intr, scale)
+    mesh = make_mesh(n_data=1, n_view=8)
+    out = view_sharded_forward(model, params, images, poses, intr, scale,
+                               mesh, plan=plan, view_scan=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_view_sharded_mixed_matches_unsharded(rng):
+    """MIXED construction under the view mesh: rect slices for
+    ``rect_views``, exact gathers for the rest, each shard running the
+    identical [rect | exact] slot layout — must match the unsharded mixed
+    volume_fn forward (the production TNT nf25 path, demo.py:49)."""
+    import dataclasses
+
+    from cermvs_tpu.ops.corr_rectified import make_mixed_volume_fn
+    from cermvs_tpu.ops.rectify import plan_rectification
+
+    images, poses, intr = _scene(rng, N=9)  # V=8
+    rect_views = (0, 2, 3, 5, 6)            # 5 rect + 3 exact
+    K4 = np.asarray(intr).copy()
+    K4[..., :2, :] /= 4.0
+    H, W = images.shape[2:4]
+    sub = [0] + [v + 1 for v in rect_views]
+    pplan = plan_rectification(np.asarray(poses)[0][sub], K4[0][sub],
+                               H // 4, W // 4)
+    assert pplan.ok, pplan.reason
+    pplan_sw = dataclasses.replace(pplan, view_rates=(), view_s_max=())
+
+    model = RAFT(cascade=TINY, hyp_chunk=4, dtype=jnp.float32,
+                 test_mode=True)
+    scale = jnp.ones((1,))
+    params = model.init(jax.random.PRNGKey(0), images, poses, intr, scale)
+    m_mixed = RAFT(cascade=TINY, hyp_chunk=4, dtype=jnp.float32,
+                   test_mode=True,
+                   volume_fn=make_mixed_volume_fn(pplan_sw, rect_views))
+    ref = m_mixed.apply(params, images, poses, intr, scale)
+    mesh = make_mesh(n_data=1, n_view=8)
+    out = view_sharded_forward(model, params, images, poses, intr, scale,
+                               mesh, plan=pplan, rect_views=rect_views)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("agg", [("mean", "max"), ("mean", "max", "std")])
+@pytest.mark.parametrize("n_frames", [9, 6])  # V=8 (even) and V=5 (padded)
+def test_view_sharded_max_std_aggregation(rng, agg, n_frames):
+    """max/std view aggregation (core/update.py:101-109's configurable
+    options) under the view mesh: per-view volumes stay shard-local and
+    the looked-up correlation features aggregate with psum/pmax each
+    iteration — must match the unsharded per-view-volume forward."""
+    model = RAFT(cascade=TINY, hyp_chunk=4, dtype=jnp.float32,
+                 test_mode=True, aggregation=agg)
+    images, poses, intr = _scene(rng, N=n_frames)
+    scale = jnp.full((1,), 1.5)
+    params = model.init(jax.random.PRNGKey(0), images, poses, intr, scale)
+    ref = model.apply(params, images, poses, intr, scale)
+    mesh = make_mesh(n_data=1, n_view=8)
+    out = view_sharded_forward(model, params, images, poses, intr, scale,
+                               mesh)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-3, atol=1e-4)
+
+
 def test_runner_mesh_rectified_matches_unsharded(rng):
     """InferenceRunner(mesh=..., construction='auto') routes B==1 views
     through the sharded RECTIFIED construction and must agree with the
