@@ -195,24 +195,39 @@ def run_shape(tag, h_r, w_r, C, s_max, D, sig_lo, sig_hi, smooth=True,
     print(f"[{tag}] ws={ws} D={D} sigma=[{sig_lo:.2f},{sig_hi:.2f}] "
           f"smooth_base={smooth}", flush=True)
 
-    # correctness + clamp stats (single call)
-    out_b, clampfrac, W_band = jax.jit(
-        lambda a, b, c, d: banded_resample(a, b, c, d, D, s_max, sig_lo,
-                                           sig_hi, pad=pad))(
-        fr[0], fs[0], base[0], sigma[0])
-    ref = jax.jit(lambda a, b, c, d: eb.epiband_resample(
-        a, b, c, d, D, s_max, sig_lo, sig_hi))(fr[0], fs[0], base[0],
-                                               sigma[0])
-    err = float(jnp.max(jnp.abs(out_b - ref)))
-    scale = float(jnp.max(jnp.abs(ref)))
-    print(f"  banded W_band={W_band} clamp_frac={float(clampfrac):.5f} "
-          f"max|diff| vs baseline {err:.3e} (scale {scale:.1f})", flush=True)
-
-    scan_time("baseline dynamic", lambda a, b, c, d: eb.epiband_resample(
-        a, b, c, d, D, s_max, sig_lo, sig_hi), (fr, fs, base, sigma))
-    scan_time("banded dynamic", lambda a, b, c, d: banded_resample(
-        a, b, c, d, D, s_max, sig_lo, sig_hi, pad=pad)[0],
-        (fr, fs, base, sigma))
+    kc = eb.pick_k_chunks(D, sig_lo, sig_hi, ws, C, s_max=s_max)
+    print(f"  pick_k_chunks -> {kc} (unchunked estimate "
+          f"{eb.kernel_vmem_bytes(D, sig_lo, sig_hi, ws, C, s_max=s_max)/1e6:.1f} MB)",
+          flush=True)
+    if kc == 1:
+        # correctness + clamp stats (single call)
+        out_b, clampfrac, W_band = jax.jit(
+            lambda a, b, c, d: banded_resample(a, b, c, d, D, s_max, sig_lo,
+                                               sig_hi, pad=pad))(
+            fr[0], fs[0], base[0], sigma[0])
+        ref = jax.jit(lambda a, b, c, d: eb.epiband_resample(
+            a, b, c, d, D, s_max, sig_lo, sig_hi))(fr[0], fs[0], base[0],
+                                                   sigma[0])
+        err = float(jnp.max(jnp.abs(out_b - ref)))
+        scale = float(jnp.max(jnp.abs(ref)))
+        print(f"  banded W_band={W_band} clamp_frac={float(clampfrac):.5f} "
+              f"max|diff| vs baseline {err:.3e} (scale {scale:.1f})",
+              flush=True)
+        scan_time("baseline dynamic", lambda a, b, c, d:
+                  eb.epiband_resample(a, b, c, d, D, s_max, sig_lo, sig_hi),
+                  (fr, fs, base, sigma))
+        scan_time("banded dynamic", lambda a, b, c, d: banded_resample(
+            a, b, c, d, D, s_max, sig_lo, sig_hi, pad=pad)[0],
+            (fr, fs, base, sigma))
+    else:
+        print("  unchunked kernel does NOT fit the scoped-VMEM limit at "
+              "this window (measured: 16.25M > 16M) — chunked variants "
+              "only", flush=True)
+        for k in (kc, 2 * kc):
+            scan_time(f"chunked k={k}", lambda a, b, c, d, _k=k:
+                      eb.epiband_resample(a, b, c, d, D, s_max, sig_lo,
+                                          sig_hi, k_chunks=_k),
+                      (fr, fs, base, sigma))
     scan_time("oracle (XLA gathers)", lambda a, b, c, d:
               _resample_rows_oracle(a[0], b[0], c[0], d[0], D, s_max)[None],
               (fr, fs, base, sigma))

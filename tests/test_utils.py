@@ -99,3 +99,23 @@ def test_relay_probe_connect_refused():
         assert not relay.tpu_relay_up(timeout=2.0)
     finally:
         relay.RELAY_HEALTH_URL = old
+
+
+def test_compilation_cache_setup(tmp_path, monkeypatch):
+    """setup_compilation_cache points jax at the directory (parse_cli wires
+    it into every CLI entry point); CERMVS_COMPILE_CACHE=0 opts out."""
+    import jax
+
+    from cermvs_tpu.utils import compile_cache
+
+    monkeypatch.setattr(compile_cache, "_done", False)
+    monkeypatch.setenv("CERMVS_COMPILE_CACHE", "0")
+    assert compile_cache.setup_compilation_cache() is None
+
+    monkeypatch.setenv("CERMVS_COMPILE_CACHE", "")
+    d = str(tmp_path / "xla")
+    assert compile_cache.setup_compilation_cache(d) == d
+    assert (tmp_path / "xla").is_dir()
+    assert jax.config.jax_compilation_cache_dir == d
+    # idempotent re-entry keeps the configured dir
+    assert compile_cache.setup_compilation_cache(d) == d
