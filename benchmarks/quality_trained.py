@@ -78,6 +78,9 @@ def main():
         from cermvs_tpu.utils.relay import require_tpu_relay
 
         require_tpu_relay()
+        from cermvs_tpu.utils.compile_cache import setup_compilation_cache
+
+        setup_compilation_cache()  # many shape buckets; reuse across runs
         import jax
 
     import jax.numpy as jnp
