@@ -107,7 +107,10 @@ def train(
             return step_fn
         plan = _plan_cache.key_for(plan)
         if plan not in _rect_steps:
-            m = RAFT(volume_fn=make_rectified_volume_fn(plan))
+            stages = [(model._auto_hyps(d), 0.0025 / n)
+                      for d, n, _ in model.cascade]
+            m = RAFT(volume_fn=make_rectified_volume_fn(plan,
+                                                        stages=stages))
             _rect_steps[plan] = make_train_step(m, tx, mesh=mesh)
         return _rect_steps[plan]
 

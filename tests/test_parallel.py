@@ -171,6 +171,86 @@ def test_view_sharded_max_std_aggregation(rng, agg, n_frames):
                                rtol=1e-3, atol=1e-4)
 
 
+def test_runner_mesh_resolves_mixed(rng, monkeypatch):
+    """InferenceRunner(mesh=...) resolves the MIXED construction when the
+    kernel budget rejects a view (max_k_chunks=1 pins round-4 routing),
+    dispatches through view_sharded_forward's mixed slot layout, and
+    matches the unmeshed runner's mixed result."""
+    from cermvs_tpu.pipeline.inference import InferenceRunner
+
+    H, W = 64, 192
+    K = np.array([[80.0, 0, W / 2], [0, 80.0, H / 2], [0, 0, 1]],
+                 np.float32)
+    poses = np.stack([np.eye(4, dtype=np.float32) for _ in range(4)])
+    poses[1, 0, 3] = -0.8
+    poses[2, 0, 3] = 1.0
+    poses[3, 0, 3] = -6.0   # large baseline: over-budget window
+    prng = np.random.RandomState(0)
+    images = prng.rand(4, H, W, 3).astype(np.float32) * 255
+    intr = np.tile(K, (4, 1, 1))
+
+    from cermvs_tpu.ops.pallas import epiband
+    from cermvs_tpu.ops.pallas.epiband import kernel_vmem_bytes
+    from cermvs_tpu.ops.rectify import plan_rectification
+
+    intr4 = intr.astype(np.float64).copy()
+    intr4[:, :2] /= 4.0
+    plan = plan_rectification(poses.astype(np.float64), intr4, H // 4,
+                              W // 4, lambda_max=0.1)
+    assert plan.ok, plan.reason
+    d0, n_div = 8, 0.5
+    costs = [kernel_vmem_bytes(
+        d0, plan.view_params(v)[0] * 0.0025 / n_div,
+        plan.view_params(v)[1] * 0.0025 / n_div,
+        plan.w_r + plan.view_params(v)[2] + plan.s_neg, 64)
+        for v in range(3)]
+    cap = (max(costs) + min(costs)) // 2
+    monkeypatch.setattr(epiband, "EPIBAND_VMEM_CAP", int(cap))
+
+    model = RAFT(test_mode=True, cascade=((8, 0.5, 2),), dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(images[None]),
+                        jnp.asarray(poses[None]), jnp.asarray(intr[None]),
+                        jnp.asarray([1.0]))
+    kw = dict(cascade=((8, 0.5, 2),), dtype=jnp.float32,
+              rect_lambda_max=0.1, max_k_chunks=1)
+    mesh = make_mesh(n_data=1, n_view=8)
+    meshed = InferenceRunner(params, mesh=mesh, construction="auto", **kw)
+    # compare raw DISPARITIES: near-zero disparities make the 1/disp depth
+    # conversion amplify fp noise unboundedly under random weights
+    disp_mesh = np.asarray(meshed.submit(images, poses, intr, 1.0))[0]
+    assert meshed._last_path == "mixed", meshed._last_path
+
+    # equality vs the unsharded forward built from the runner's OWN
+    # resolved (pplan, rect_views) key — the meshed and unmeshed runners
+    # may legitimately keep different rect subsets (the union-window gate
+    # can shrink further), and with random weights any construction
+    # difference amplifies chaotically, so same-key comparison is the
+    # valid contract (the dryrun asserts the same)
+    import dataclasses
+
+    from cermvs_tpu.ops.corr_rectified import make_mixed_volume_fn
+
+    ((_, key),) = meshed._cache.keys()
+    pplan, rv = key
+    assert isinstance(rv, tuple) and 0 < len(rv) < 3
+    pplan_sw = dataclasses.replace(pplan, view_rates=(), view_s_max=())
+    ref_model = RAFT(test_mode=True, cascade=((8, 0.5, 2),),
+                     dtype=jnp.float32,
+                     volume_fn=make_mixed_volume_fn(pplan_sw, rv))
+    # neighbor order: the runner canonicalizes by ascending baseline; it
+    # also ships images in bf16 — round the reference's inputs identically
+    # (random weights amplify any input difference chaotically)
+    order = meshed._neighbor_order(poses)
+    im_ref = jnp.asarray(images[None][:, order]).astype(
+        jnp.bfloat16).astype(jnp.float32)
+    ref = ref_model.apply(params, im_ref,
+                          jnp.asarray(poses[None][:, order]),
+                          jnp.asarray(intr[None][:, order]),
+                          jnp.asarray([1.0]))
+    np.testing.assert_allclose(disp_mesh, np.asarray(ref)[0],
+                               rtol=1e-3, atol=1e-4)
+
+
 def test_runner_mesh_rectified_matches_unsharded(rng):
     """InferenceRunner(mesh=..., construction='auto') routes B==1 views
     through the sharded RECTIFIED construction and must agree with the
