@@ -23,6 +23,14 @@ with ``G`` never leaving VMEM.  The interpolation is gather-free:
    outside the physical band get zero via validity masks, matching
    ``sampling.interp1d`` (and the reference's zero out-of-bounds corners).
 
+Wide static windows (far TNT views, sigma ~17 px/hypothesis) blow the
+``sm``/``ones`` expansion matrices (~``D^2 * Delta-sigma / 2`` lanes) past
+the ~14 MB Mosaic scoped-VMEM budget; the HYPOTHESIS-CHUNKED kernel
+(``k_chunks > 1``, :func:`pick_k_chunks`) splits the hypothesis axis on a
+4th grid dimension — ``G`` computed once per x-cell into VMEM scratch,
+per-chunk realignment shrinking the windows to ``(D/n_k)^2`` — so every
+production window compiles (round-5; BENCH_NOTES study table).
+
 Differentiable: ``epiband_resample`` carries a custom VJP (Pallas backward
 kernels) w.r.t. the FEATURES only — ``base``/``sigma`` (the sample
 coordinates) get zero gradient, matching the reference CUDA backward which
