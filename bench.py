@@ -71,6 +71,11 @@ def main():
     # hard fail (jax.devices() hangs, not errors, when it is down)
     wait_for_tpu_relay(max_wait=300.0)
     require_tpu_relay()
+    from cermvs_tpu.utils.compile_cache import setup_compilation_cache
+
+    # compile-time only (steady-state timings are unaffected); spares the
+    # round-end driver run the 5-minute cold compiles per shape bucket
+    setup_compilation_cache()
 
     import jax
     import jax.numpy as jnp

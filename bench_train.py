@@ -28,6 +28,9 @@ def main():
     from cermvs_tpu.utils.relay import require_tpu_relay
 
     require_tpu_relay()  # jax.devices() hangs (not errors) when the relay is down
+    from cermvs_tpu.utils.compile_cache import setup_compilation_cache
+
+    setup_compilation_cache()  # compile-time only; timings unaffected
 
     import jax
     import jax.numpy as jnp
