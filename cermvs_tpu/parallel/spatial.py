@@ -303,16 +303,26 @@ def row_sharded_forward(model, params, images, poses, intrinsics, scale,
     images (1, N, H, W, 3) in [0, 255]; returns (1, h, w) scaled disparity
     identical (up to float reduction order) to ``model.apply``.
 
-    Requires: B == 1, ``model.test_mode``, mean aggregation, H divisible by
-    8 * n_shards.  With ``plan=None`` uses the exact construction (the
-    volume stays row-sharded; source features are all-gathered).  With a
-    host-planned ``RectPlan`` (``rectify.plan_rectification``) the volume is
-    built through the rectified epiband path on per-shard rect-row BANDS
+    Requires: B == 1, ``model.test_mode``, H divisible by 8 * n_shards.
+    With ``plan=None`` uses the exact construction (the volume stays
+    row-sharded; source features are all-gathered).  With a host-planned
+    ``RectPlan`` (``rectify.plan_rectification``) the volume is built
+    through the rectified epiband path on per-shard rect-row BANDS
     (``rectify.plan_row_bands``) — same approximation class as the
     unsharded rectified forward, ~band_h/h_r of its cost per shard.
+
+    max/std view aggregation (``core/update.py:101-109``) is supported on
+    the EXACT construction: the view axis is shard-LOCAL under row
+    sharding (every shard holds all views for its rows), so per-view
+    row-block volumes need no collective — UpdateBlock aggregates them
+    in-block exactly as the unsharded model does.  The banded rectified
+    path keeps the mean-folded volume (per-view banded volumes would
+    multiply the band memory by V for a configuration no shipped gin file
+    uses — ROADMAP §13).
     """
     assert model.test_mode, "row-sharded forward is a test-mode path"
-    assert model.mean_volume, "row sharding requires mean aggregation"
+    assert model.mean_volume or plan is None, \
+        "row-sharded banded rectified construction requires mean aggregation"
     n = int(mesh.shape[axis])
     B, N, H, W, _ = images.shape
     assert B == 1, "row-sharded forward supports batch 1"
@@ -469,21 +479,28 @@ def row_sharded_forward(model, params, images, poses, intrinsics, scale,
                 vol = build_volume_rect(origin, n_hyp, incre,
                                         zero_slab=(stage == 0))
             else:
+                # per-view row-block volumes when the model's aggregation
+                # needs them (max/std): the view axis is shard-local, so
+                # UpdateBlock aggregates exactly like the unsharded model
                 vol = corr_ops.build_corr_volume_from(
                     f_ref_ext.astype(jnp.float32),
                     f_src_full.astype(jnp.float32), Pij_ext, origin, n_hyp,
-                    incre, hyp_chunk=model.hyp_chunk, mean_over_views=True,
+                    incre, hyp_chunk=model.hyp_chunk,
+                    mean_over_views=model.mean_volume,
                     gather_dtype=model.dtype)
             levels = (corr_ops.build_pyramid(vol, model.num_levels)
                       if model.lookup_impl != "pallas" else [vol])
             pyr = corr_ops.CorrPyramid(levels, origin, incre, n_hyp,
                                        model.num_levels)
             gctx = apply_gru_ctx(inp_ext.astype(model.dtype), stage)
+            Vv = int(vol.shape[1])
 
             for _ in range(n_iters):
                 disp = refresh(disp)
                 net = refresh(net)
-                zinv = jax.lax.stop_gradient(disp)[..., 0][:, None]
+                zinv = jnp.broadcast_to(
+                    jax.lax.stop_gradient(disp)[..., 0][:, None],
+                    (1, Vv, rows_ext, w))
                 corr_frames = corr_ops.lookup(pyr, zinv, model.radius,
                                               impl=model.lookup_impl)
                 net, delta = apply_update(

@@ -550,6 +550,11 @@ class InferenceRunner:
         from cermvs_tpu.ops.rectify import plan_row_bands
         from cermvs_tpu.parallel.spatial import GHOST_RECT
 
+        if not self.model.mean_volume:
+            # banded rectified construction is mean-folded; per-view
+            # aggregations run the exact row-sharded path (spatial.py
+            # docstring / ROADMAP section 13)
+            return None, None
         n_sh = int(self.mesh.shape["row"])
         f = self.model.stride_factor
         H, W = images[0].shape[1:3]

@@ -92,6 +92,26 @@ def test_row_sharded_forward_matches_single_fp32():
                                rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.parametrize("agg", [("mean", "max"), ("mean", "max", "std")])
+def test_row_sharded_max_std_aggregation(agg):
+    """max/std view aggregation under row sharding (exact construction):
+    the view axis is shard-LOCAL, so per-view row-block volumes aggregate
+    inside UpdateBlock with no collective — must match the unsharded
+    per-view-volume forward (ROADMAP section 13 closure)."""
+    images, poses, intrinsics = _scene()
+    model = RAFT(test_mode=True, cascade=((8, 64, 2), (-1, 320, 2)),
+                 hyp_chunk=4, dtype=jnp.float32, aggregation=agg)
+    scale = jnp.ones((1,), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), images, poses, intrinsics,
+                        scale)
+    ref = model.apply(params, images, poses, intrinsics, scale)
+    mesh = _row_mesh()
+    out = row_sharded_forward(model, params, images, poses, intrinsics,
+                              scale, mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-3, atol=1e-3)
+
+
 def _rect_scene_plan(twopass):
     import dataclasses
 
